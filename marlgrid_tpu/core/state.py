@@ -1,0 +1,136 @@
+"""EnvParams (static config) and EnvState (the device-resident pytree).
+
+TPU-native replacement for the reference's mutable object graph
+(``marlgrid/base.py — §MultiGrid/§MultiGridEnv`` state, SURVEY.md §2.1): the
+whole board lives as packed int32 arrays and per-agent vectors so ``step`` /
+``reset`` / ``observe`` are pure jitted functions, vmappable over thousands of
+env instances (BASELINE.json north star).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvParams:
+    """Static env configuration — hashable, passed as a jit-static argument.
+
+    Mirrors the reference ctor surface ``MultiGridEnv.__init__`` +
+    ``GridAgentInterface`` kwargs (SURVEY §2.1, §3.1) as one frozen config.
+    """
+
+    # board
+    width: int = 9
+    height: int = 9
+    n_agents: int = 1
+    max_steps: int = 100
+    # reference MultiGridEnv kwargs (SURVEY §3.1 [M])
+    reward_decay: bool = True
+    respawn: bool = False
+    ghost_mode: bool = True
+    # agent observation config (GridAgentInterface kwargs, SURVEY §2.1)
+    view_size: int = 7            # odd
+    view_tile_size: int = 8       # pixels per tile in the POV render
+    view_offset: int = 0
+    observation_style: str = "image"   # 'image' | 'rich' | 'encode'
+    observe_rewards: bool = False
+    observe_position: bool = False
+    observe_orientation: bool = False
+    see_through_walls: bool = False
+    # rewards (SPEC §5)
+    goal_reward: float = 1.0
+    lava_penalty: float = 0.0
+    bonus_reward: float = 1.0
+    bonus_penalty: float = 0.5
+    # scenario knobs (SPEC §6)
+    scenario: str = "empty"       # 'empty' | 'cluttered' | 'doorkey' | 'goal_cycle'
+    n_clutter: int = 25
+    n_bonus_tiles: int = 3
+    # per-agent colors, as color indices (len == n_agents)
+    agent_colors: Tuple[int, ...] = (0,)
+    # placement rejection-sampling budget (SPEC §4)
+    max_place_tries: int = 100
+
+    def __post_init__(self):
+        assert self.view_size % 2 == 1, "view_size must be odd"
+        assert len(self.agent_colors) == self.n_agents, (
+            f"agent_colors {self.agent_colors} must have n_agents="
+            f"{self.n_agents} entries"
+        )
+
+    def replace(self, **kw) -> "EnvParams":
+        return dataclasses.replace(self, **kw)
+
+
+def default_agent_colors(n: int) -> Tuple[int, ...]:
+    """Reference assigns distinct colors per agent index (SURVEY §2.1 [M])."""
+    order = (0, 4, 5, 1, 6, 2, 3, 8)  # red, blue, purple, orange, pink, yellow…
+    return tuple(order[i % len(order)] for i in range(n))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class EnvState:
+    """One environment's full state as a pytree of arrays (SPEC §2–§3)."""
+
+    # board layers, shape (W, H), indexed [x, y]
+    grid_type: jax.Array
+    grid_color: jax.Array
+    grid_state: jax.Array
+    # agents, shape (N, …)
+    agent_pos: jax.Array        # (N, 2) int32, (x, y)
+    agent_dir: jax.Array        # (N,) int32
+    carry_type: jax.Array       # (N,) int32
+    carry_color: jax.Array      # (N,) int32
+    carry_state: jax.Array      # (N,) int32
+    active: jax.Array           # (N,) bool
+    last_bonus: jax.Array       # (N,) int32, -1 = no tile visited yet
+    accum_reward: jax.Array     # (N,) float32
+    last_reward: jax.Array      # (N,) float32
+    # episode bookkeeping
+    step_count: jax.Array       # () int32
+    key: jax.Array              # threefry key (SPEC §4)
+
+
+def zeros_state(params: EnvParams, key: jax.Array) -> EnvState:
+    W, H, N = params.width, params.height, params.n_agents
+    i32 = jnp.int32
+    return EnvState(
+        grid_type=jnp.zeros((W, H), i32),
+        grid_color=jnp.zeros((W, H), i32),
+        grid_state=jnp.zeros((W, H), i32),
+        agent_pos=jnp.zeros((N, 2), i32),
+        agent_dir=jnp.zeros((N,), i32),
+        carry_type=jnp.zeros((N,), i32),
+        carry_color=jnp.zeros((N,), i32),
+        carry_state=jnp.zeros((N,), i32),
+        active=jnp.zeros((N,), bool),
+        last_bonus=jnp.full((N,), -1, i32),
+        accum_reward=jnp.zeros((N,), jnp.float32),
+        last_reward=jnp.zeros((N,), jnp.float32),
+        step_count=jnp.zeros((), i32),
+        key=key,
+    )
+
+
+def state_spec(params: EnvParams):
+    """ShapeDtypeStruct pytree of EnvState — for checkpoint restore etc."""
+    dummy = jax.eval_shape(
+        lambda: zeros_state(params, jax.random.PRNGKey(0))
+    )
+    return dummy
+
+
+def np_grid(state: EnvState) -> np.ndarray:
+    """(W, H, 3) numpy symbolic encode — mirrors ``MultiGrid.encode()``
+    (``marlgrid/base.py — §encode``, SURVEY §2.1)."""
+    return np.stack(
+        [np.asarray(state.grid_type), np.asarray(state.grid_color),
+         np.asarray(state.grid_state)],
+        axis=-1,
+    )
