@@ -1,0 +1,131 @@
+"""Agent interface objects — the per-agent config surface.
+
+Mirrors ``marlgrid/agents.py — §GridAgentInterface/§IndependentLearners``
+(SURVEY §2.1): the kwargs, action enum, and gym spaces, re-hosted on
+gymnasium. In the TPU engine an agent is rows of packed arrays; this class is
+the host-side *configuration* (and bookkeeping view) of one agent slot.
+"""
+from __future__ import annotations
+
+import contextlib
+from typing import List
+
+import numpy as np
+
+from .core import constants as C
+
+try:
+    from gymnasium import spaces
+except ImportError:  # pragma: no cover
+    spaces = None
+
+
+class GridAgentInterface:
+    """Per-agent observation/behavior config (SURVEY §2.1 kwargs [H]/[M])."""
+
+    #: action enum — ``marlgrid/agents.py — §actions`` [H]
+    actions = {n: i for i, n in enumerate(C.ACTION_NAMES)}
+
+    def __init__(self, color="red", view_size=7, view_tile_size=8,
+                 view_offset=0, observation_style="image",
+                 observe_rewards=False, observe_position=False,
+                 observe_orientation=False, see_through_walls=False,
+                 prestige_beta=0.95, prestige_scale=2.0, spawn_delay=0):
+        self.color = color
+        self.color_idx = C.COLOR_TO_IDX[color]
+        assert view_size % 2 == 1, "view_size must be odd"
+        self.view_size = view_size
+        self.view_tile_size = view_tile_size
+        self.view_offset = view_offset
+        self.observation_style = observation_style
+        self.observe_rewards = observe_rewards
+        self.observe_position = observe_position
+        self.observe_orientation = observe_orientation
+        self.see_through_walls = see_through_walls
+        # prestige/spawn_delay accepted for reference-kwarg compatibility;
+        # not simulated (SPEC §10 deviations).
+        self.prestige_beta = prestige_beta
+        self.prestige_scale = prestige_scale
+        self.spawn_delay = spawn_delay
+        # episode bookkeeping mirrors (filled by the wrapper)
+        self.pos = None
+        self.dir = None
+        self.carrying = None
+        self.active = False
+
+    @property
+    def action_space(self):
+        return spaces.Discrete(C.N_ACTIONS)
+
+    @property
+    def observation_space(self):
+        side = self.view_size * self.view_tile_size
+        pov = spaces.Box(0, 255, (side, side, 3), np.uint8)
+        if self.observation_style == "image":
+            return pov
+        if self.observation_style == "encode":
+            return spaces.Box(0, 255, (self.view_size, self.view_size, 3),
+                              np.int32)
+        d = {"pov": pov,
+             "reward": spaces.Box(-np.inf, np.inf, (), np.float32)}
+        if self.observe_position:
+            d["position"] = spaces.Box(0, 255, (2,), np.int32)
+        if self.observe_orientation:
+            d["orientation"] = spaces.Discrete(4)
+        return spaces.Dict(d)
+
+
+class IndependentLearners(list):
+    """Zip N independent learners into one object for the env loop
+    (``marlgrid/agents.py — §IndependentLearners`` [M])."""
+
+    def __init__(self, *learners):
+        super().__init__(learners)
+
+    def action_step(self, obs_list):
+        return [lrn.action_step(obs) for lrn, obs in zip(self, obs_list)]
+
+    def save_step(self, obs, actions, rewards, done):
+        for lrn, o, a, r in zip(self, obs, actions, rewards):
+            if hasattr(lrn, "save_step"):
+                lrn.save_step(o, a, r, done)
+
+    @contextlib.contextmanager
+    def episode(self):
+        for lrn in self:
+            if hasattr(lrn, "start_episode"):
+                lrn.start_episode()
+        try:
+            yield self
+        finally:
+            for lrn in self:
+                if hasattr(lrn, "end_episode"):
+                    lrn.end_episode()
+
+
+def agents_to_params_fields(agents: List[GridAgentInterface]) -> dict:
+    """Fold a homogeneous agent list into EnvParams fields.
+
+    The engine compiles one static observation config for all agents
+    (static shapes — SURVEY §7.3 item 5); heterogeneous per-agent view
+    configs are not supported (colors may differ).
+    """
+    a0 = agents[0]
+    for a in agents[1:]:
+        for f in ("view_size", "view_tile_size", "view_offset",
+                  "observation_style", "observe_rewards", "observe_position",
+                  "observe_orientation", "see_through_walls"):
+            assert getattr(a, f) == getattr(a0, f), \
+                f"heterogeneous agent config not supported: {f}"
+    return dict(
+        n_agents=len(agents),
+        agent_colors=tuple(a.color_idx for a in agents),
+        view_size=a0.view_size,
+        view_tile_size=a0.view_tile_size,
+        view_offset=a0.view_offset,
+        observation_style=a0.observation_style,
+        observe_rewards=a0.observe_rewards,
+        observe_position=a0.observe_position,
+        observe_orientation=a0.observe_orientation,
+        see_through_walls=a0.see_through_walls,
+    )

@@ -89,6 +89,9 @@ def place_agent(params: EnvParams, state: EnvState, i: int, k,
     """Agent place event: position + random initial dir (SPEC §4)."""
     x, y, ok = select_cell(params, k, free_mask(state, mask),
                            interior_region(params))
+    # degenerate full-board fallback pins agents at (1, 1) (SPEC §4)
+    x = jnp.where(ok, x, 1)
+    y = jnp.where(ok, y, 1)
     state.agent_pos = state.agent_pos.at[i].set(jnp.stack([x, y]))
     state.agent_dir = state.agent_dir.at[i].set(rng.place_event_dir(k))
     state.active = state.active.at[i].set(True)

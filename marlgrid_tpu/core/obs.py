@@ -147,8 +147,13 @@ def agent_obs_image(params: EnvParams, state: EnvState, i, base_lut,
     vt, vc, vst, any_agent, acolor, reldir = view_cells(params, state, i)
     base_id = base_appearance(vt, vc, vst)
     agent_id = jnp.where(any_agent, 1 + acolor * 4 + reldir, 0)
-    base = base_lut[base_id]                  # (vs, vs, T, T, 3)
-    over = agent_lut[agent_id]                # (vs, vs, T, T, 4)
+    # Row-flattened takes: XLA CPU's multi-dim uint8 gather codegen is
+    # pathologically slow to compile (~45 s per distinct shape); taking whole
+    # flattened LUT rows compiles in <1 s and lowers to the same TPU gather.
+    base = jnp.take(base_lut.reshape(base_lut.shape[0], -1), base_id,
+                    axis=0).reshape(vs, vs, T, T, 3)
+    over = jnp.take(agent_lut.reshape(agent_lut.shape[0], -1), agent_id,
+                    axis=0).reshape(vs, vs, T, T, 4)
     img = jnp.where(over[..., 3:] > 0, over[..., :3], base)
     if not params.see_through_walls:
         vis = process_vis(transparency(vt, vst), params.view_size,

@@ -76,18 +76,21 @@ def _agent_micro_step(params: EnvParams, state: EnvState, rew, i, actions,
     deact = (on_goal & (not params.respawn)) | on_lava
     state.active = state.active.at[i].set(active & ~deact)
 
+    # Commit the move BEFORE any respawn draw so the vacated cell counts as
+    # free in the respawn's validity mask (matches the oracle's ordering).
+    state.agent_pos = state.agent_pos.at[i].set(new_pos)
+
     if params.respawn:
         # In-step respawn after reaching a goal: a place event per SPEC §4.
         rk = rng.respawn_key(sub, i)
         rx, ry, ok = select_cell(params, rk, free_mask(state),
                                  interior_region(params))
         do = on_goal & ok
-        new_pos = jnp.where(do, jnp.stack([rx, ry]), new_pos)
+        state.agent_pos = state.agent_pos.at[i].set(
+            jnp.where(do, jnp.stack([rx, ry]), new_pos))
         rdir = rng.place_event_dir(rk)
         state.agent_dir = state.agent_dir.at[i].set(
             jnp.where(do, rdir, state.agent_dir[i]))
-
-    state.agent_pos = state.agent_pos.at[i].set(new_pos)
 
     # --- pickup / drop / toggle (mutually exclusive by action code) ---------
     cty, cco, cst = state.carry_type[i], state.carry_color[i], \

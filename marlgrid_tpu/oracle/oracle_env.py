@@ -1,0 +1,380 @@
+"""The vendored pure-Python oracle — executable ground truth for SPEC.md.
+
+This class is written in the *reference's* style (mutable state, per-agent
+Python loops, per-cell rendering — ``marlgrid/base.py — §MultiGridEnv``,
+SURVEY §3) and is deliberately independent of the jitted engine: scalar loops
+instead of masked vector ops, literal minigrid ``process_vis`` sweeps instead
+of the row-vectorized recurrence, per-cell sprite rasterization instead of LUT
+gathers. Only the RNG key-derivation helpers (``core/rng.py``) are shared —
+that module IS the SPEC §4 protocol.
+
+Parity tests (tests/test_parity.py) drive oracle and engine from the same seed
+and assert bit-equal trajectories and observations (SURVEY §4 item 1).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import constants as C
+from ..core import rng
+from ..core.state import EnvParams
+
+
+class OracleEnv:
+    def __init__(self, params: EnvParams):
+        self.p = params
+
+    # ------------------------------------------------------------------ reset
+    def reset(self, key):
+        p = self.p
+        k_events, k_state = map(np.asarray, _split(key))
+        self.key = k_state
+        W, H, N = p.width, p.height, p.n_agents
+        self.grid = np.zeros((W, H, 3), np.int32)  # (type, color, state)
+        self.grid[0, :, 0] = self.grid[-1, :, 0] = C.WALL
+        self.grid[:, 0, 0] = self.grid[:, -1, 0] = C.WALL
+        grey = C.COLOR_TO_IDX["grey"]
+        self.grid[..., 1] = np.where(self.grid[..., 0] == C.WALL, grey, 0)
+
+        self.agent_pos = np.zeros((N, 2), np.int32)
+        self.agent_dir = np.zeros(N, np.int32)
+        self.carrying = np.zeros((N, 3), np.int32)
+        self.active = np.zeros(N, bool)
+        self.last_bonus = np.full(N, -1, np.int32)
+        self.accum_reward = np.zeros(N, np.float64)
+        self.last_reward = np.zeros(N, np.float64)
+        self.step_count = 0
+
+        n_ev, agent_mask = self._gen_grid(k_events)
+        for i in range(N):
+            self._place_agent(i, rng.fold_in(k_events, n_ev + i), agent_mask)
+        return [self._obs(i) for i in range(N)]
+
+    # ------------------------------------------------- scenario grid builders
+    def _gen_grid(self, ke):
+        p = self.p
+        green = C.COLOR_TO_IDX["green"]
+        grey = C.COLOR_TO_IDX["grey"]
+        if p.scenario == "empty":
+            self._place_obj(rng.fold_in(ke, 0), (C.GOAL, green, 0))
+            return 1, None
+        if p.scenario == "cluttered":
+            for e in range(p.n_clutter):
+                self._place_obj(rng.fold_in(ke, e), (C.WALL, grey, 0))
+            self._place_obj(rng.fold_in(ke, p.n_clutter), (C.GOAL, green, 0))
+            return p.n_clutter + 1, None
+        if p.scenario == "doorkey":
+            k0 = rng.fold_in(ke, 0)
+            split_x = int(_randint(rng.fold_in(k0, 0), 2, p.width - 2))
+            door_y = int(_randint(rng.fold_in(k0, 1), 1, p.height - 1))
+            self.grid[split_x, 1:p.height - 1] = (C.WALL, grey, 0)
+            yellow = C.COLOR_TO_IDX["yellow"]
+            self.grid[split_x, door_y] = (C.DOOR, yellow, C.DOOR_LOCKED)
+            xs = np.arange(p.width)[:, None] * np.ones((1, p.height), int)
+            left, right = xs < split_x, xs > split_x
+            self._place_obj(rng.fold_in(ke, 1), (C.KEY, yellow, 0), left)
+            self._place_obj(rng.fold_in(ke, 2), (C.GOAL, green, 0), right)
+            return 3, left
+        if p.scenario == "goal_cycle":
+            for e in range(p.n_clutter):
+                self._place_obj(rng.fold_in(ke, e), (C.WALL, grey, 0))
+            pink = C.COLOR_TO_IDX["pink"]
+            for b in range(p.n_bonus_tiles):
+                self._place_obj(rng.fold_in(ke, p.n_clutter + b),
+                                (C.BONUS, pink, b))
+            return p.n_clutter + p.n_bonus_tiles, None
+        raise ValueError(self.p.scenario)
+
+    # ----------------------------------------------------- placement protocol
+    def _free(self, x, y, mask):
+        if self.grid[x, y, 0] != C.EMPTY:
+            return False
+        if mask is not None and not mask[x, y]:
+            return False
+        for j in range(self.p.n_agents):
+            # unplaced agents sit at (0,0), a wall cell — never a candidate
+            if self.active[j] or self.agent_pos[j].any():
+                if self.agent_pos[j, 0] == x and self.agent_pos[j, 1] == y:
+                    return False
+        return True
+
+    def _select_cell(self, k, mask):
+        """SPEC §4 place event: first-valid of max_tries draws, else the
+        first free cell in row-major (y, then x) order."""
+        p = self.p
+        xs, ys = rng.place_event_draws(k, p.max_place_tries, 1, p.width - 2,
+                                       1, p.height - 2)
+        xs, ys = np.asarray(xs), np.asarray(ys)
+        for t in range(p.max_place_tries):
+            if self._free(int(xs[t]), int(ys[t]), mask):
+                return int(xs[t]), int(ys[t])
+        for y in range(p.height):
+            for x in range(p.width):
+                if self._free(x, y, mask):
+                    return x, y
+        return None
+
+    def _place_obj(self, k, cell, mask=None):
+        at = self._select_cell(k, mask)
+        if at is not None:
+            self.grid[at[0], at[1]] = cell
+
+    def _place_agent(self, i, k, mask=None):
+        at = self._select_cell(k, mask)
+        if at is None:
+            at = (1, 1)
+        self.agent_pos[i] = at
+        self.agent_dir[i] = int(np.asarray(rng.place_event_dir(k)))
+        self.active[i] = True
+
+    # ------------------------------------------------------------------- step
+    def step(self, actions):
+        """SPEC §5 — literal sequential per-agent loop (SURVEY §3.3)."""
+        p = self.p
+        N = p.n_agents
+        self.key, sub = map(np.asarray, rng.split_step_key(self.key))
+        perm = np.asarray(rng.step_perm(sub, N))
+        rew = np.zeros(N, np.float64)
+
+        for i in perm:
+            i = int(i)
+            if not self.active[i]:
+                continue
+            a = int(actions[i])
+            if a == C.LEFT:
+                self.agent_dir[i] = (self.agent_dir[i] - 1) % 4
+            elif a == C.RIGHT:
+                self.agent_dir[i] = (self.agent_dir[i] + 1) % 4
+            elif a == C.FORWARD:
+                rew[i] += self._forward(i, sub)
+            elif a == C.PICKUP:
+                self._pickup(i)
+            elif a == C.DROP:
+                self._drop(i)
+            elif a == C.TOGGLE:
+                self._toggle(i)
+            # C.DONE: no-op
+
+        self.step_count += 1
+        if p.reward_decay:
+            rew *= 1.0 - 0.9 * self.step_count / p.max_steps
+        self.accum_reward += rew
+        self.last_reward = rew
+        done = (self.step_count >= p.max_steps) or not self.active.any()
+        obs = [self._obs(i) for i in range(N)]
+        return obs, rew.astype(np.float32), bool(done), {}
+
+    def _front(self, i):
+        f = self.agent_pos[i] + C.DIR_VEC[self.agent_dir[i]]
+        return int(f[0]), int(f[1])
+
+    def _agent_at(self, x, y, exclude, blocking_only):
+        for j in range(self.p.n_agents):
+            if j == exclude:
+                continue
+            if self.agent_pos[j, 0] == x and self.agent_pos[j, 1] == y:
+                if not blocking_only:
+                    return True
+                if self.active[j] or not self.p.ghost_mode:
+                    return True
+        return False
+
+    def _forward(self, i, sub):
+        p = self.p
+        fx, fy = self._front(i)
+        ft, fc, fs = self.grid[fx, fy]
+        if not C.can_overlap(int(ft), int(fs)):
+            return 0.0
+        if self._agent_at(fx, fy, i, blocking_only=True):
+            return 0.0
+        self.agent_pos[i] = (fx, fy)
+        r = 0.0
+        if ft == C.GOAL:
+            r += p.goal_reward
+            if p.respawn:
+                at = self._select_cell(rng.respawn_key(sub, i), None)
+                if at is not None:
+                    self.agent_pos[i] = at
+                    self.agent_dir[i] = int(np.asarray(
+                        rng.place_event_dir(rng.respawn_key(sub, i))))
+            else:
+                self.active[i] = False
+        elif ft == C.LAVA:
+            r += p.lava_penalty
+            self.active[i] = False
+        elif ft == C.BONUS:
+            b, lb = int(fs), int(self.last_bonus[i])
+            if lb < 0 or b == (lb + 1) % max(p.n_bonus_tiles, 1):
+                r += p.bonus_reward
+                self.last_bonus[i] = b
+            elif b == lb:
+                pass
+            else:
+                r -= p.bonus_penalty
+                self.last_bonus[i] = b
+        return r
+
+    def _pickup(self, i):
+        fx, fy = self._front(i)
+        ft = int(self.grid[fx, fy, 0])
+        if C.can_pickup(ft) and self.carrying[i, 0] == C.EMPTY:
+            self.carrying[i] = self.grid[fx, fy]
+            self.grid[fx, fy] = 0
+
+    def _drop(self, i):
+        fx, fy = self._front(i)
+        if (self.carrying[i, 0] != C.EMPTY
+                and self.grid[fx, fy, 0] == C.EMPTY
+                and not self._agent_at(fx, fy, i, blocking_only=False)):
+            self.grid[fx, fy] = self.carrying[i]
+            self.carrying[i] = 0
+
+    def _toggle(self, i):
+        fx, fy = self._front(i)
+        ft, fc, fs = (int(v) for v in self.grid[fx, fy])
+        if ft == C.DOOR:
+            if fs == C.DOOR_LOCKED:
+                if (self.carrying[i, 0] == C.KEY
+                        and self.carrying[i, 1] == fc):
+                    self.grid[fx, fy, 2] = C.DOOR_OPEN
+            elif fs == C.DOOR_CLOSED:
+                self.grid[fx, fy, 2] = C.DOOR_OPEN
+            else:
+                self.grid[fx, fy, 2] = C.DOOR_CLOSED
+        elif ft == C.BOX:
+            ct, cc = C.box_unpack(fs)
+            self.grid[fx, fy] = (ct, cc, 0)
+
+    # ----------------------------------------------------------- observations
+    def view_cell(self, i, vi, vj):
+        """World cell shown at view coord (vi, vj) — SPEC §7 geometry,
+        computed per cell with the up/right basis (independent of the
+        engine's precomputed offset tables)."""
+        p = self.p
+        c, aj = p.view_size // 2, p.view_size - 1 - p.view_offset
+        d = int(self.agent_dir[i])
+        up, right = C.DIR_VEC[d], C.DIR_VEC[(d + 1) % 4]
+        w = self.agent_pos[i] + (aj - vj) * up + (vi - c) * right
+        return int(w[0]), int(w[1])
+
+    def view_grid(self, i):
+        """(vs, vs, 3) symbolic view + per-cell agent overlay info."""
+        p = self.p
+        vs = p.view_size
+        grey = C.COLOR_TO_IDX["grey"]
+        cells = np.zeros((vs, vs, 3), np.int32)
+        agent = np.full((vs, vs), -1, np.int32)  # observed agent index
+        for vi in range(vs):
+            for vj in range(vs):
+                x, y = self.view_cell(i, vi, vj)
+                if 0 <= x < p.width and 0 <= y < p.height:
+                    cells[vi, vj] = self.grid[x, y]
+                    for j in range(p.n_agents):
+                        if (self.agent_pos[j, 0] == x
+                                and self.agent_pos[j, 1] == y
+                                and (self.active[j] or not p.ghost_mode)):
+                            agent[vi, vj] = j
+                            break
+                else:
+                    cells[vi, vj] = (C.WALL, grey, 0)
+        return cells, agent
+
+    def process_vis(self, transparent):
+        """Literal minigrid occlusion sweep (SPEC §7, SURVEY §3.4 [H])."""
+        p = self.p
+        vs = p.view_size
+        mask = np.zeros((vs, vs), bool)
+        mask[vs // 2, vs - 1 - p.view_offset] = True
+        for j in range(vs - 1, -1, -1):
+            for i_ in range(vs - 1):
+                if mask[i_, j] and transparent[i_, j]:
+                    mask[i_ + 1, j] = True
+                    if j > 0:
+                        mask[i_ + 1, j - 1] = True
+                        mask[i_, j - 1] = True
+            for i_ in range(vs - 1, 0, -1):
+                if mask[i_, j] and transparent[i_, j]:
+                    mask[i_ - 1, j] = True
+                    if j > 0:
+                        mask[i_ - 1, j - 1] = True
+                        mask[i_, j - 1] = True
+        return mask
+
+    def vis_mask(self, i):
+        cells, _ = self.view_grid(i)
+        if self.p.see_through_walls:
+            return np.ones((self.p.view_size,) * 2, bool)
+        transparent = np.array(
+            [[C.see_behind(int(cells[vi, vj, 0]), int(cells[vi, vj, 2]))
+              for vj in range(self.p.view_size)]
+             for vi in range(self.p.view_size)])
+        return self.process_vis(transparent)
+
+    def obs_encode(self, i):
+        """SPEC §7 'encode' style: (vs, vs, 3) int32."""
+        p = self.p
+        cells, agent = self.view_grid(i)
+        out = cells.copy()
+        d = int(self.agent_dir[i])
+        for vi in range(p.view_size):
+            for vj in range(p.view_size):
+                j = agent[vi, vj]
+                if j >= 0:
+                    out[vi, vj] = (C.AGENT, p.agent_colors[j],
+                                   (self.agent_dir[j] - d + 3) % 4)
+        vis = self.vis_mask(i)
+        out[~vis] = 0
+        return out
+
+    def obs_image(self, i):
+        """SPEC §7 'image' style, rendered per cell with the rasterizer
+        directly (independent of the engine's LUT-gather path)."""
+        from .. import rendering as R
+        p = self.p
+        vs, T = p.view_size, p.view_tile_size
+        cells, agent = self.view_grid(i)
+        vis = self.vis_mask(i)
+        d = int(self.agent_dir[i])
+        img = np.zeros((vs * T, vs * T, 3), np.uint8)
+        for vi in range(vs):
+            for vj in range(vs):
+                if not vis[vi, vj]:
+                    continue
+                t, c, s = (int(v) for v in cells[vi, vj])
+                s_vis = min(s, 2) if t == C.DOOR else 0
+                tile = R.render_base_tile(t, c, s_vis, T)
+                j = agent[vi, vj]
+                if j >= 0:
+                    over = R.render_agent_tile(
+                        p.agent_colors[j],
+                        (int(self.agent_dir[j]) - d + 3) % 4, T)
+                    tile = np.where(over[..., 3:] > 0, over[..., :3], tile)
+                img[vj * T:(vj + 1) * T, vi * T:(vi + 1) * T] = tile
+        return img
+
+    def _obs(self, i):
+        p = self.p
+        if p.observation_style == "encode":
+            return self.obs_encode(i)
+        img = self.obs_image(i)
+        if p.observation_style == "image":
+            return img
+        out = {"pov": img, "reward": float(self.last_reward[i])}
+        if p.observe_position:
+            out["position"] = tuple(int(v) for v in self.agent_pos[i])
+        if p.observe_orientation:
+            out["orientation"] = int(self.agent_dir[i])
+        return out
+
+
+def _split(key):
+    import jax.random
+
+    return jax.random.split(key)
+
+
+def _randint(k, lo, hi):
+    import jax.random
+    import jax.numpy as jnp
+
+    return np.asarray(jax.random.randint(k, (), lo, hi, dtype=jnp.int32))

@@ -1,0 +1,98 @@
+"""The TPU-native batched env API — the framework's first-class interface.
+
+No reference analog (the reference is a single Python env instance,
+SURVEY §2.3): this is the north-star layer where thousands of env instances
+step in lockstep as one jitted, vmapped program, optionally sharded over a
+``jax.sharding.Mesh`` so env shards live on their own chips/hosts
+(embarrassingly parallel — no cross-env collectives; SURVEY §5).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import rendering
+from .core import grid_gen, obs as obs_mod, step as step_mod
+from .core.state import EnvParams
+
+
+class VectorEnv:
+    """Functional batched env: state in, state out; everything jitted.
+
+    Usage::
+
+        env = VectorEnv(params, n_envs=4096)
+        state, obs = env.reset(jax.random.PRNGKey(0))
+        state, obs, rew, done, info = env.step(state, actions)  # actions (B, N)
+    """
+
+    def __init__(self, params: EnvParams, n_envs: int,
+                 sharding: Optional[jax.sharding.NamedSharding] = None,
+                 auto_reset: bool = True):
+        self.params = params
+        self.n_envs = n_envs
+        self.auto_reset = auto_reset
+        self.sharding = sharding
+
+        if params.observation_style == "encode":
+            luts = ()
+        else:
+            luts = (jnp.asarray(rendering.base_lut(params.view_tile_size)),
+                    jnp.asarray(rendering.agent_lut(params.view_tile_size)))
+
+        def _reset(key):
+            keys = jax.random.split(key, n_envs)
+            if sharding is not None:
+                keys = jax.lax.with_sharding_constraint(keys, sharding)
+            state = jax.vmap(lambda k: grid_gen.reset(params, k))(keys)
+            obs = jax.vmap(
+                lambda s: obs_mod.all_agent_obs(params, s, *luts))(state)
+            return state, obs
+
+        def _step(state, actions):
+            if auto_reset:
+                state, rew, done, info = jax.vmap(
+                    lambda s, a: step_mod.step_autoreset(params, s, a)
+                )(state, actions)
+            else:
+                state, rew, done = jax.vmap(
+                    lambda s, a: step_mod.step(params, s, a))(state, actions)
+                info = {}
+            obs = jax.vmap(
+                lambda s: obs_mod.all_agent_obs(params, s, *luts))(state)
+            return state, obs, rew, done, info
+
+        self.reset = jax.jit(_reset)
+        self.step = jax.jit(_step)
+
+    @functools.cached_property
+    def example_actions(self):
+        return jnp.zeros((self.n_envs, self.params.n_agents), jnp.int32)
+
+    def rollout_fn(self, policy_apply, rollout_len: int):
+        """Build a jitted device-resident rollout: ``lax.scan`` over steps
+        (SURVEY §2.3 'async actor/learner' row — fixed-length scan rollouts).
+
+        ``policy_apply(params_pytree, obs, key) -> actions (B, N)``.
+        Returns ``fn(policy_params, state, key) -> (state, trajectory)`` where
+        trajectory is a pytree with leading axis ``rollout_len``.
+        """
+        def body(carry, _):
+            state, key = carry
+            key, ak = jax.random.split(key)
+            obs = jax.vmap(lambda s: obs_mod.all_agent_obs(
+                self.params, s))(state)
+            actions = policy_apply(None, obs, ak)
+            state, obs2, rew, done, info = self.step(state, actions)
+            return (state, key), dict(obs=obs, actions=actions, rew=rew,
+                                      done=done)
+
+        def fn(policy_params, state, key):
+            (state, _), traj = jax.lax.scan(body, (state, key), None,
+                                            length=rollout_len)
+            return state, traj
+
+        return jax.jit(fn)

@@ -1,0 +1,179 @@
+"""Host-side gym-classic wrapper around the jitted engine.
+
+Reproduces the reference's single-env API shape exactly
+(``marlgrid/base.py — §MultiGridEnv``, SURVEY §3.3): ``reset() -> [obs]``,
+``step(list_of_actions) -> (obs_list, reward_array, done_bool, info)``
+(gym-classic 4-tuple with per-agent lists), plus ``render`` / ``encode`` /
+seeding. Under the hood every call dispatches one jitted program; this class
+exists for drop-in familiarity and for the oracle-parity harness — large-scale
+training should use ``marlgrid_tpu.vector.VectorEnv`` (no host-Python in the
+step path).
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import rendering
+from .agents import GridAgentInterface, agents_to_params_fields
+from .core import constants as C
+from .core import grid_gen, obs as obs_mod, step as step_mod
+from .core.state import EnvParams, EnvState, default_agent_colors, np_grid
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled(params: EnvParams):
+    """Jitted reset/step/obs closures, cached per static config."""
+    if params.observation_style == "encode":
+        luts = ()
+    else:
+        luts = (jnp.asarray(rendering.base_lut(params.view_tile_size)),
+                jnp.asarray(rendering.agent_lut(params.view_tile_size)))
+
+    reset_fn = jax.jit(lambda key: grid_gen.reset(params, key))
+    step_fn = jax.jit(lambda s, a: step_mod.step(params, s, a))
+    obs_fn = jax.jit(lambda s: obs_mod.all_agent_obs(params, s, *luts))
+
+    def _visible_world(s, i):
+        wx, wy, inb = obs_mod.view_world_coords(params, s.agent_pos[i],
+                                                s.agent_dir[i])
+        if params.see_through_walls:
+            vis = jnp.ones_like(inb)
+        else:
+            vt = jnp.where(inb, s.grid_type[wx, wy], C.WALL)
+            vst = jnp.where(inb, s.grid_state[wx, wy], 0)
+            vis = obs_mod.process_vis(obs_mod.transparency(vt, vst),
+                                      params.view_size, params.view_offset)
+        return wx, wy, inb & vis
+
+    vis_fn = jax.jit(lambda s: jax.vmap(lambda i: _visible_world(s, i))(
+        jnp.arange(params.n_agents)))
+    return reset_fn, step_fn, obs_fn, vis_fn
+
+
+class MultiGridEnv:
+    """Reference-shaped multi-agent env (SURVEY §3.1 ctor surface)."""
+
+    scenario: str = "empty"
+
+    def __init__(self, agents: Optional[List[GridAgentInterface]] = None,
+                 grid_size: Optional[int] = None, width: Optional[int] = None,
+                 height: Optional[int] = None, max_steps: int = 100,
+                 reward_decay: bool = True, seed: int = 0,
+                 respawn: bool = False, ghost_mode: bool = True,
+                 params: Optional[EnvParams] = None, **scenario_kwargs):
+        if params is None:
+            if grid_size is not None:
+                width = height = grid_size
+            agents = agents or [GridAgentInterface()]
+            fields = agents_to_params_fields(agents)
+            fields.update(width=width or 9, height=height or 9,
+                          max_steps=max_steps, reward_decay=reward_decay,
+                          respawn=respawn, ghost_mode=ghost_mode,
+                          scenario=self.scenario, **scenario_kwargs)
+            params = EnvParams(**fields)
+        self.params = params
+        self.agents = agents or [
+            GridAgentInterface(color=C.COLOR_NAMES[ci])
+            for ci in params.agent_colors
+        ]
+        self.num_agents = params.n_agents
+        self._reset_fn, self._step_fn, self._obs_fn, self._vis_fn = \
+            _compiled(params)
+        self.state: Optional[EnvState] = None
+        self.seed(seed)
+
+    # ------------------------------------------------------------------ gym
+    def seed(self, seed: int = 0):
+        """gym-style seeding (``marlgrid/base.py — §seed`` analog)."""
+        self._key = jax.random.PRNGKey(seed)
+        self._episode = 0
+        return [seed]
+
+    @property
+    def action_space(self):
+        return [a.action_space for a in self.agents]
+
+    @property
+    def observation_space(self):
+        return [a.observation_space for a in self.agents]
+
+    def reset(self, seed: Optional[int] = None):
+        if seed is not None:
+            self.seed(seed)
+        ep_key = jax.random.fold_in(self._key, self._episode)
+        self._episode += 1
+        self.state = self._reset_fn(ep_key)
+        self._sync_agents()
+        return self._host_obs()
+
+    def step(self, actions: Sequence[int]):
+        assert self.state is not None, "call reset() first"
+        a = jnp.asarray(np.asarray(actions, np.int32))
+        self.state, rew, done = self._step_fn(self.state, a)
+        self._sync_agents()
+        return (self._host_obs(), np.asarray(rew), bool(done), {})
+
+    # ------------------------------------------------------------- obs/render
+    def _host_obs(self):
+        p = self.params
+        obs = np.asarray(self._obs_fn(self.state))
+        if p.observation_style in ("image", "encode"):
+            return [obs[i] for i in range(p.n_agents)]
+        rew = np.asarray(self.state.last_reward)
+        pos = np.asarray(self.state.agent_pos)
+        dirs = np.asarray(self.state.agent_dir)
+        out = []
+        for i in range(p.n_agents):
+            d = {"pov": obs[i], "reward": float(rew[i])}
+            if p.observe_position:
+                d["position"] = tuple(int(v) for v in pos[i])
+            if p.observe_orientation:
+                d["orientation"] = int(dirs[i])
+            out.append(d)
+        return out
+
+    def _sync_agents(self):
+        """Mirror device state into the GridAgentInterface objects."""
+        pos = np.asarray(self.state.agent_pos)
+        dirs = np.asarray(self.state.agent_dir)
+        act = np.asarray(self.state.active)
+        carry = np.asarray(self.state.carry_type)
+        for i, a in enumerate(self.agents):
+            a.pos = tuple(int(v) for v in pos[i])
+            a.dir = int(dirs[i])
+            a.active = bool(act[i])
+            a.carrying = int(carry[i])
+
+    def encode(self) -> np.ndarray:
+        """(W, H, 3) symbolic board encode (``MultiGrid.encode``)."""
+        return np_grid(self.state)
+
+    def agent_highlight_mask(self) -> np.ndarray:
+        """(W, H) bool union of all agents' visible cells (for render)."""
+        p = self.params
+        wx, wy, vis = (np.asarray(v) for v in self._vis_fn(self.state))
+        mask = np.zeros((p.width, p.height), bool)
+        mask[wx[vis], wy[vis]] = True
+        return mask
+
+    def render(self, mode="rgb_array", tile_size=16, highlight=True,
+               **_):
+        """Full-board render (SURVEY §3.5). 'human' mode falls back to
+        rgb_array when no display backend is available (headless TPU hosts)."""
+        hm = self.agent_highlight_mask() if highlight else None
+        img = rendering.render_board(self.params, self.state, tile_size,
+                                     highlight_mask=hm)
+        return img
+
+
+def env_params_for(scenario: str, grid_size: int, n_agents: int,
+                   **kw) -> EnvParams:
+    """Convenience EnvParams builder with reference-style defaults."""
+    kw.setdefault("agent_colors", default_agent_colors(n_agents))
+    return EnvParams(width=grid_size, height=grid_size, n_agents=n_agents,
+                     scenario=scenario, **kw)
