@@ -51,3 +51,45 @@ def place_event_draws(k, max_tries: int, x0, rw, y0, rh):
 def place_event_dir(k):
     """Random initial direction drawn by an *agent* place event (SPEC §4)."""
     return jax.random.randint(fold_in(k, 2), (), 0, 4, dtype=jnp.int32)
+
+
+# --------------------------------------------------------------------------
+# Bulk draw helpers — produce, in ONE jitted call, exactly the values the
+# per-event helpers above produce. Used by the oracle so a reset / step costs
+# O(1) host<->device round-trips instead of O(events) eager dispatches (this
+# host's virtualization has multi-ms scheduling jitter; see tests/conftest).
+# --------------------------------------------------------------------------
+
+def all_reset_draws(key, n_events: int, max_tries: int, x0, rw, y0, rh,
+                    width, height):
+    """Per-event candidate streams for a whole reset (SPEC §4 event order).
+
+    Returns (k_state, xs (E, T), ys (E, T), dirs (E,), split_x, door_y) —
+    split_x/door_y are the doorkey scenario's event-0 sub-draws (ignored by
+    other scenarios).
+    """
+    k_events, k_state = jax.random.split(key)
+    ks = jax.vmap(lambda e: fold_in(k_events, e))(jnp.arange(n_events))
+    xs, ys = jax.vmap(
+        lambda k: place_event_draws(k, max_tries, x0, rw, y0, rh))(ks)
+    dirs = jax.vmap(place_event_dir)(ks)
+    k0 = fold_in(k_events, 0)
+    split_x = jax.random.randint(fold_in(k0, 0), (), 2, width - 2,
+                                 dtype=jnp.int32)
+    door_y = jax.random.randint(fold_in(k0, 1), (), 1, height - 1,
+                                dtype=jnp.int32)
+    return k_state, xs, ys, dirs, split_x, door_y
+
+
+def all_step_draws(key, n_agents: int, max_tries: int, x0, rw, y0, rh,
+                   with_respawn: bool):
+    """One step's draws: (next_key, perm[, respawn xs/ys/dirs per agent])."""
+    k_next, sub = split_step_key(key)
+    perm = step_perm(sub, n_agents)
+    if not with_respawn:
+        return k_next, perm
+    rks = jax.vmap(lambda i: respawn_key(sub, i))(jnp.arange(n_agents))
+    rxs, rys = jax.vmap(
+        lambda k: place_event_draws(k, max_tries, x0, rw, y0, rh))(rks)
+    rdirs = jax.vmap(place_event_dir)(rks)
+    return k_next, perm, rxs, rys, rdirs

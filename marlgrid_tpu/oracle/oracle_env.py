@@ -5,13 +5,17 @@ Python loops, per-cell rendering — ``marlgrid/base.py — §MultiGridEnv``,
 SURVEY §3) and is deliberately independent of the jitted engine: scalar loops
 instead of masked vector ops, literal minigrid ``process_vis`` sweeps instead
 of the row-vectorized recurrence, per-cell sprite rasterization instead of LUT
-gathers. Only the RNG key-derivation helpers (``core/rng.py``) are shared —
-that module IS the SPEC §4 protocol.
+gathers. Only the RNG protocol (``core/rng.py`` — SPEC §4) is shared: the
+oracle fetches each reset's / step's draw streams with ONE jitted bulk call
+(``rng.all_reset_draws`` / ``rng.all_step_draws``), which produce bit-identical
+values to the engine's in-graph per-event draws.
 
 Parity tests (tests/test_parity.py) drive oracle and engine from the same seed
 and assert bit-equal trajectories and observations (SURVEY §4 item 1).
 """
 from __future__ import annotations
+
+import functools
 
 import numpy as np
 
@@ -20,15 +24,39 @@ from ..core import rng
 from ..core.state import EnvParams
 
 
+def _n_scenario_events(p: EnvParams) -> int:
+    return {"empty": 1,
+            "cluttered": p.n_clutter + 1,
+            "doorkey": 3,
+            "goal_cycle": p.n_clutter + p.n_bonus_tiles}[p.scenario]
+
+
 class OracleEnv:
     def __init__(self, params: EnvParams):
+        import jax
+
         self.p = params
+        p = params
+        n_events = _n_scenario_events(p) + p.n_agents
+        self._reset_draws = jax.jit(functools.partial(
+            rng.all_reset_draws, n_events=n_events,
+            max_tries=p.max_place_tries, x0=1, rw=p.width - 2, y0=1,
+            rh=p.height - 2, width=p.width, height=p.height))
+        self._step_draws = jax.jit(functools.partial(
+            rng.all_step_draws, n_agents=p.n_agents,
+            max_tries=p.max_place_tries, x0=1, rw=p.width - 2, y0=1,
+            rh=p.height - 2, with_respawn=p.respawn))
 
     # ------------------------------------------------------------------ reset
     def reset(self, key):
         p = self.p
-        k_events, k_state = map(np.asarray, _split(key))
-        self.key = k_state
+        draws = self._reset_draws(key)
+        self.key = np.asarray(draws[0])
+        self._exs, self._eys = np.asarray(draws[1]), np.asarray(draws[2])
+        self._edirs = np.asarray(draws[3])
+        self._split_x, self._door_y = int(draws[4]), int(draws[5])
+        self._ev = 0  # next placement event number (SPEC §4 ordering)
+
         W, H, N = p.width, p.height, p.n_agents
         self.grid = np.zeros((W, H, 3), np.int32)  # (type, color, state)
         self.grid[0, :, 0] = self.grid[-1, :, 0] = C.WALL
@@ -45,45 +73,43 @@ class OracleEnv:
         self.last_reward = np.zeros(N, np.float64)
         self.step_count = 0
 
-        n_ev, agent_mask = self._gen_grid(k_events)
+        agent_mask = self._gen_grid()
         for i in range(N):
-            self._place_agent(i, rng.fold_in(k_events, n_ev + i), agent_mask)
+            self._place_agent(i, agent_mask)
         return [self._obs(i) for i in range(N)]
 
     # ------------------------------------------------- scenario grid builders
-    def _gen_grid(self, ke):
+    def _gen_grid(self):
         p = self.p
         green = C.COLOR_TO_IDX["green"]
         grey = C.COLOR_TO_IDX["grey"]
         if p.scenario == "empty":
-            self._place_obj(rng.fold_in(ke, 0), (C.GOAL, green, 0))
-            return 1, None
+            self._place_obj((C.GOAL, green, 0))
+            return None
         if p.scenario == "cluttered":
-            for e in range(p.n_clutter):
-                self._place_obj(rng.fold_in(ke, e), (C.WALL, grey, 0))
-            self._place_obj(rng.fold_in(ke, p.n_clutter), (C.GOAL, green, 0))
-            return p.n_clutter + 1, None
+            for _ in range(p.n_clutter):
+                self._place_obj((C.WALL, grey, 0))
+            self._place_obj((C.GOAL, green, 0))
+            return None
         if p.scenario == "doorkey":
-            k0 = rng.fold_in(ke, 0)
-            split_x = int(_randint(rng.fold_in(k0, 0), 2, p.width - 2))
-            door_y = int(_randint(rng.fold_in(k0, 1), 1, p.height - 1))
+            split_x, door_y = self._split_x, self._door_y
+            self._ev += 1  # event 0 is the wall/door split draw
             self.grid[split_x, 1:p.height - 1] = (C.WALL, grey, 0)
             yellow = C.COLOR_TO_IDX["yellow"]
             self.grid[split_x, door_y] = (C.DOOR, yellow, C.DOOR_LOCKED)
             xs = np.arange(p.width)[:, None] * np.ones((1, p.height), int)
             left, right = xs < split_x, xs > split_x
-            self._place_obj(rng.fold_in(ke, 1), (C.KEY, yellow, 0), left)
-            self._place_obj(rng.fold_in(ke, 2), (C.GOAL, green, 0), right)
-            return 3, left
+            self._place_obj((C.KEY, yellow, 0), left)
+            self._place_obj((C.GOAL, green, 0), right)
+            return left
         if p.scenario == "goal_cycle":
-            for e in range(p.n_clutter):
-                self._place_obj(rng.fold_in(ke, e), (C.WALL, grey, 0))
+            for _ in range(p.n_clutter):
+                self._place_obj((C.WALL, grey, 0))
             pink = C.COLOR_TO_IDX["pink"]
             for b in range(p.n_bonus_tiles):
-                self._place_obj(rng.fold_in(ke, p.n_clutter + b),
-                                (C.BONUS, pink, b))
-            return p.n_clutter + p.n_bonus_tiles, None
-        raise ValueError(self.p.scenario)
+                self._place_obj((C.BONUS, pink, b))
+            return None
+        raise ValueError(p.scenario)
 
     # ----------------------------------------------------- placement protocol
     def _free(self, x, y, mask):
@@ -93,38 +119,37 @@ class OracleEnv:
             return False
         for j in range(self.p.n_agents):
             # unplaced agents sit at (0,0), a wall cell — never a candidate
-            if self.active[j] or self.agent_pos[j].any():
-                if self.agent_pos[j, 0] == x and self.agent_pos[j, 1] == y:
-                    return False
+            if self.agent_pos[j, 0] == x and self.agent_pos[j, 1] == y:
+                return False
         return True
 
-    def _select_cell(self, k, mask):
+    def _select_cell(self, xs, ys, mask):
         """SPEC §4 place event: first-valid of max_tries draws, else the
         first free cell in row-major (y, then x) order."""
-        p = self.p
-        xs, ys = rng.place_event_draws(k, p.max_place_tries, 1, p.width - 2,
-                                       1, p.height - 2)
-        xs, ys = np.asarray(xs), np.asarray(ys)
-        for t in range(p.max_place_tries):
+        for t in range(self.p.max_place_tries):
             if self._free(int(xs[t]), int(ys[t]), mask):
                 return int(xs[t]), int(ys[t])
-        for y in range(p.height):
-            for x in range(p.width):
+        for y in range(self.p.height):
+            for x in range(self.p.width):
                 if self._free(x, y, mask):
                     return x, y
         return None
 
-    def _place_obj(self, k, cell, mask=None):
-        at = self._select_cell(k, mask)
+    def _place_obj(self, cell, mask=None):
+        e = self._ev
+        self._ev += 1
+        at = self._select_cell(self._exs[e], self._eys[e], mask)
         if at is not None:
             self.grid[at[0], at[1]] = cell
 
-    def _place_agent(self, i, k, mask=None):
-        at = self._select_cell(k, mask)
+    def _place_agent(self, i, mask=None):
+        e = self._ev
+        self._ev += 1
+        at = self._select_cell(self._exs[e], self._eys[e], mask)
         if at is None:
             at = (1, 1)
         self.agent_pos[i] = at
-        self.agent_dir[i] = int(np.asarray(rng.place_event_dir(k)))
+        self.agent_dir[i] = int(self._edirs[e])
         self.active[i] = True
 
     # ------------------------------------------------------------------- step
@@ -132,8 +157,11 @@ class OracleEnv:
         """SPEC §5 — literal sequential per-agent loop (SURVEY §3.3)."""
         p = self.p
         N = p.n_agents
-        self.key, sub = map(np.asarray, rng.split_step_key(self.key))
-        perm = np.asarray(rng.step_perm(sub, N))
+        draws = self._step_draws(self.key)
+        self.key = np.asarray(draws[0])
+        perm = np.asarray(draws[1])
+        self._respawn_draws = tuple(np.asarray(d) for d in draws[2:]) \
+            if p.respawn else None
         rew = np.zeros(N, np.float64)
 
         for i in perm:
@@ -146,7 +174,7 @@ class OracleEnv:
             elif a == C.RIGHT:
                 self.agent_dir[i] = (self.agent_dir[i] + 1) % 4
             elif a == C.FORWARD:
-                rew[i] += self._forward(i, sub)
+                rew[i] += self._forward(i)
             elif a == C.PICKUP:
                 self._pickup(i)
             elif a == C.DROP:
@@ -179,7 +207,7 @@ class OracleEnv:
                     return True
         return False
 
-    def _forward(self, i, sub):
+    def _forward(self, i):
         p = self.p
         fx, fy = self._front(i)
         ft, fc, fs = self.grid[fx, fy]
@@ -192,11 +220,11 @@ class OracleEnv:
         if ft == C.GOAL:
             r += p.goal_reward
             if p.respawn:
-                at = self._select_cell(rng.respawn_key(sub, i), None)
+                rxs, rys, rdirs = self._respawn_draws
+                at = self._select_cell(rxs[i], rys[i], None)
                 if at is not None:
                     self.agent_pos[i] = at
-                    self.agent_dir[i] = int(np.asarray(
-                        rng.place_event_dir(rng.respawn_key(sub, i))))
+                    self.agent_dir[i] = int(rdirs[i])
             else:
                 self.active[i] = False
         elif ft == C.LAVA:
@@ -365,16 +393,3 @@ class OracleEnv:
         if p.observe_orientation:
             out["orientation"] = int(self.agent_dir[i])
         return out
-
-
-def _split(key):
-    import jax.random
-
-    return jax.random.split(key)
-
-
-def _randint(k, lo, hi):
-    import jax.random
-    import jax.numpy as jnp
-
-    return np.asarray(jax.random.randint(k, (), lo, hi, dtype=jnp.int32))
