@@ -6,12 +6,18 @@ trick). Must run before jax initializes its backends, hence conftest.
 """
 import os
 
+# NOTE: this image's sitecustomize imports jax at interpreter startup to
+# register the TPU relay backend, so os.environ["JAX_PLATFORMS"] here is too
+# late — jax's config already latched the env. jax.config.update still works
+# because no backend has been *initialized* yet at conftest time.
 os.environ["JAX_PLATFORMS"] = "cpu"
 if not os.environ.get("MARLGRID_NO_VIRTUAL_DEVICES"):
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + " --xla_force_host_platform_device_count=8")
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 # Persistent compile cache: this box's virtualization has multi-ms scheduling
 # jitter that makes XLA:CPU compiles expensive; cache them across test runs.
