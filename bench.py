@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line (driver contract).
+
+Measures aggregate env-steps/s of the batched jitted step+obs engine on the
+default JAX device (the TPU chip under axon; CPU if forced), on the
+north-star config (BASELINE.json #3: ClutteredMultiGrid 15x15, 3 agents,
+7x7 egocentric obs). The whole rollout runs device-side under ``lax.scan``
+(random actions drawn in-graph, auto-reset on done); only a scalar checksum
+returns to host per timed call.
+
+``vs_baseline`` is the speedup over the vendored pure-Python oracle — the
+stand-in for the reference's single-env Python loop (marlgrid publishes no
+numbers and the reference mount is empty; BASELINE.md). The oracle's RNG
+helper calls are pinned to the host CPU device so the baseline measures
+Python env logic, not TPU-tunnel latency.
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_params(args):
+    from marlgrid_tpu.core.state import EnvParams, default_agent_colors
+
+    return EnvParams(
+        width=args.grid_size, height=args.grid_size, n_agents=args.agents,
+        scenario=args.scenario, n_clutter=args.clutter, max_steps=250,
+        view_size=args.view_size, observation_style=args.obs,
+        agent_colors=default_agent_colors(args.agents))
+
+
+def engine_steps_per_sec(args, params):
+    import jax
+    import jax.numpy as jnp
+
+    from marlgrid_tpu import rendering
+    from marlgrid_tpu.core import grid_gen, obs as obs_mod, step as step_mod
+
+    B, T = args.envs, args.steps
+    if params.observation_style == "encode":
+        luts = ()
+    else:
+        luts = (jnp.asarray(rendering.base_lut(params.view_tile_size)),
+                jnp.asarray(rendering.agent_lut(params.view_tile_size)))
+
+    @jax.jit
+    def init(key):
+        return jax.vmap(lambda k: grid_gen.reset(params, k))(
+            jax.random.split(key, B))
+
+    @jax.jit
+    def rollout(state, key):
+        # one fresh board per step, generated vmapped OUTSIDE the scan
+        fresh_keys = jax.random.split(jax.random.fold_in(key, 0xF), T)
+        fresh = jax.vmap(lambda k: grid_gen.reset(params, k))(fresh_keys)
+
+        def body(carry, fresh_t):
+            state, key, acc = carry
+            key, ak = jax.random.split(key)
+            a = jax.random.randint(ak, (B, params.n_agents), 0, 7)
+            state, rew, done, _ = step_mod.step_autoreset_with_fresh(
+                params, state, a, fresh_t)
+            obs = jax.vmap(
+                lambda s: obs_mod.all_agent_obs(params, s, *luts))(state)
+            acc = acc + rew.sum() + obs.sum(dtype=jnp.float32) / obs.size
+            return (state, key, acc), None
+
+        (state, key, acc), _ = jax.lax.scan(
+            body, (state, key, jnp.zeros((), jnp.float32)), fresh)
+        return state, key, acc
+
+    key = jax.random.PRNGKey(0)
+    state = init(key)
+    state, key, acc = rollout(state, jax.random.fold_in(key, 1))
+    jax.block_until_ready(acc)  # warmup: compile + 1 run
+
+    reps = args.reps
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state, key, acc = rollout(state, key)
+    jax.block_until_ready(acc)
+    dt = time.perf_counter() - t0
+    return B * T * reps / dt, float(acc)
+
+
+def oracle_steps_per_sec(args, params):
+    """Single-env pure-Python loop — the reference-style baseline."""
+    import jax
+
+    from marlgrid_tpu.oracle import OracleEnv
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        oracle = OracleEnv(params)
+        rng = np.random.default_rng(0)
+        oracle.reset(jax.random.PRNGKey(0))
+        n = 0
+        t0 = time.perf_counter()
+        while n < args.baseline_steps:
+            _, _, done, _ = oracle.step(rng.integers(0, 7, params.n_agents))
+            n += 1
+            if done:
+                oracle.reset(jax.random.PRNGKey(n))
+        dt = time.perf_counter() - t0
+    return n / dt
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--envs", type=int, default=4096)
+    p.add_argument("--steps", type=int, default=64)
+    p.add_argument("--reps", type=int, default=5)
+    p.add_argument("--scenario", default="cluttered")
+    p.add_argument("--grid-size", type=int, default=15)
+    p.add_argument("--agents", type=int, default=3)
+    p.add_argument("--clutter", type=int, default=25)
+    p.add_argument("--view-size", type=int, default=7)
+    p.add_argument("--obs", default="encode", choices=["encode", "image"])
+    p.add_argument("--baseline-steps", type=int, default=300)
+    p.add_argument("--skip-baseline", action="store_true")
+    args = p.parse_args(argv)
+
+    params = build_params(args)
+    eng, checksum = engine_steps_per_sec(args, params)
+
+    if args.skip_baseline:
+        base = None
+        vs = None
+    else:
+        base = oracle_steps_per_sec(args, params)
+        vs = eng / base
+
+    import jax
+
+    print(f"[bench] device={jax.devices()[0]} envs={args.envs} "
+          f"steps={args.steps} reps={args.reps} obs={args.obs} "
+          f"checksum={checksum:.1f}", file=sys.stderr)
+    print(f"[bench] engine={eng:,.0f} env-steps/s "
+          f"({eng * params.n_agents:,.0f} agent-steps/s); "
+          f"oracle baseline={base if base else float('nan'):,.1f} env-steps/s",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "env_steps_per_sec",
+        "value": round(eng, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(vs, 1) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -113,12 +113,14 @@ def can_pickup(obj_type):
 
 
 def _take(table, idx):
-    """Gather from a constant table; accepts numpy or traced jnp indices."""
-    import jax.numpy as jnp
-
+    """Lookup from a constant table; accepts numpy or traced jnp indices.
+    Traced lookups go through the dense one-hot path (no TPU gathers —
+    see core/dense.py)."""
     if isinstance(idx, np.ndarray):
         return table[idx]
-    return jnp.asarray(table)[idx]
+    from . import dense
+
+    return dense.table_lookup(table, idx)
 
 
 # Box contents packing (SPEC §2): state = contained_type * 16 + contained_color.

@@ -7,8 +7,13 @@ rejection loop becomes a fixed-budget batched draw + first-valid select
 (SURVEY §7.3 item 3), so the whole reset is one jitted program and auto-reset
 can run inside the vmapped step.
 
-Every random draw follows SPEC §4; the oracle mirrors these event orders
-exactly.
+TPU shape of the event chain: placements are *sequential* by SPEC §4 (later
+events see earlier occupancy), so the serial carry is kept as small as
+possible — a packed uint32 bitmask of free cells (~8 words for a 15x15
+board). Each event is a couple of tiny fused ops on the words; the board
+layers are painted ONCE at the end from the recorded placements. No gathers,
+no scatters (see core/dense.py), and all randomness comes from one bulk draw
+(core/rng.py).
 """
 from __future__ import annotations
 
@@ -18,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from . import constants as C
+from . import dense as D
 from . import rng
 from .state import EnvParams, EnvState, zeros_state
 
@@ -27,75 +33,86 @@ def interior_region(params: EnvParams) -> Tuple[int, int, int, int]:
     return 1, params.width - 2, 1, params.height - 2
 
 
+# --------------------------------------------------------------------------
+# Packed free-cell bitmask ops (x-major flat index m = x * H + y)
+# --------------------------------------------------------------------------
+
+def n_words(params: EnvParams) -> int:
+    return -(-params.width * params.height // 32)
+
+
+def pack_mask(mask) -> jax.Array:
+    """(W, H) bool -> (nw,) uint32 packed words."""
+    W, H = mask.shape
+    nw = -(-W * H // 32)
+    bits = jnp.zeros((nw * 32,), jnp.uint32).at[:W * H].set(
+        mask.reshape(-1).astype(jnp.uint32))
+    return (bits.reshape(nw, 32)
+            << jnp.arange(32, dtype=jnp.uint32)).sum(-1, jnp.uint32)
+
+
+def unpack_mask(words, W: int, H: int) -> jax.Array:
+    """(nw,) uint32 -> (W, H) bool."""
+    bits = ((words[:, None] >> jnp.arange(32, dtype=jnp.uint32)) & 1)
+    return bits.reshape(-1)[:W * H].reshape(W, H).astype(bool)
+
+
+def word_test(words, idx) -> jax.Array:
+    """Bit test words[idx//32] >> idx%32 for an (T,) index vector."""
+    nw = words.shape[0]
+    wsel = (idx // 32)[:, None] == jnp.arange(nw)[None, :]
+    w = (wsel * words[None, :]).sum(-1, jnp.uint32)
+    return ((w >> (idx % 32).astype(jnp.uint32)) & 1).astype(bool)
+
+
+def word_clear(words, idx) -> jax.Array:
+    """Clear bit ``idx`` (scalar) — the cell is now taken."""
+    nw = words.shape[0]
+    bit = jnp.where(jnp.arange(nw) == idx // 32,
+                    jnp.uint32(1) << (idx % 32).astype(jnp.uint32),
+                    jnp.uint32(0))
+    return words & ~bit
+
+
+def select_from_words(params: EnvParams, words, xs, ys):
+    """One place event (SPEC §4): first valid of the candidate draws, else
+    the first free cell in row-major (y, then x) order. Returns (x, y, ok)."""
+    W, H = params.width, params.height
+    idx = xs * H + ys
+    valid = word_test(words, idx)
+    any_valid = valid.any()
+    first = jnp.argmax(valid)
+    free = unpack_mask(words, W, H)
+    flat = free.T.reshape(-1)              # y-major fallback scan
+    any_free = flat.any()
+    fidx = jnp.argmax(flat)
+    fx = (fidx % W).astype(jnp.int32)
+    fy = (fidx // W).astype(jnp.int32)
+    x = jnp.where(any_valid, D.read_row(xs, first), fx)
+    y = jnp.where(any_valid, D.read_row(ys, first), fy)
+    return x, y, (any_valid | any_free)
+
+
 def free_mask(state: EnvState, extra_mask=None) -> jax.Array:
-    """(W, H) bool — cells that are empty and agent-free (SPEC §4 validity)."""
+    """(W, H) bool — cells that are empty and agent-free (SPEC §4 validity).
+
+    Used by in-step respawn events; reset uses the incremental word chain.
+    """
     m = state.grid_type == C.EMPTY
-    # Exclude cells occupied by any *placed* agent. Unplaced agents sit at
-    # (0, 0), a border-wall cell that is never free anyway.
     W, H = m.shape
-    occ = jnp.zeros((W, H), bool)
-    occ = occ.at[state.agent_pos[:, 0], state.agent_pos[:, 1]].set(True)
+    px = state.agent_pos[:, 0][:, None, None]
+    py = state.agent_pos[:, 1][:, None, None]
+    occ = ((px == jnp.arange(W)[None, :, None])
+           & (py == jnp.arange(H)[None, None, :])).any(0)
     m = m & ~occ
     if extra_mask is not None:
         m = m & extra_mask
     return m
 
 
-def select_cell(params: EnvParams, k, free: jax.Array,
-                region: Tuple) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """One place event (SPEC §4): returns (x, y, placed).
-
-    Draws ``max_place_tries`` candidates in the region, picks the first valid
-    one; falls back to the first free cell in row-major (y, then x) order.
-    """
-    x0, rw, y0, rh = region
-    xs, ys = rng.place_event_draws(k, params.max_place_tries, x0, rw, y0, rh)
-    valid = free[xs, ys]
-    any_valid = valid.any()
-    first = jnp.argmax(valid)
-    # Row-major (y, then x) fallback scan over the whole board, restricted to
-    # the free mask (which already encodes the scenario region/mask).
-    flat = free.T.reshape(-1)  # (H*W,) scanning y-major
-    any_free = flat.any()
-    fidx = jnp.argmax(flat)
-    W = free.shape[0]
-    fx = (fidx % W).astype(jnp.int32)
-    fy = (fidx // W).astype(jnp.int32)
-    x = jnp.where(any_valid, xs[first], fx)
-    y = jnp.where(any_valid, ys[first], fy)
-    return x, y, (any_valid | any_free)
-
-
-def set_cell(state: EnvState, x, y, otype, ocolor=0, ostate=0) -> EnvState:
-    state.grid_type = state.grid_type.at[x, y].set(otype)
-    state.grid_color = state.grid_color.at[x, y].set(ocolor)
-    state.grid_state = state.grid_state.at[x, y].set(ostate)
-    return state
-
-
-def place_object(params: EnvParams, state: EnvState, k, otype, ocolor=0,
-                 ostate=0, mask=None) -> EnvState:
-    """place_obj-equivalent for world objects (SURVEY §3.2 hot spot)."""
-    x, y, ok = select_cell(params, k, free_mask(state, mask),
-                           interior_region(params))
-    t = jnp.where(ok, otype, state.grid_type[x, y])
-    c = jnp.where(ok, ocolor, state.grid_color[x, y])
-    s = jnp.where(ok, ostate, state.grid_state[x, y])
-    return set_cell(state, x, y, t, c, s)
-
-
-def place_agent(params: EnvParams, state: EnvState, i: int, k,
-                mask=None) -> EnvState:
-    """Agent place event: position + random initial dir (SPEC §4)."""
-    x, y, ok = select_cell(params, k, free_mask(state, mask),
-                           interior_region(params))
-    # degenerate full-board fallback pins agents at (1, 1) (SPEC §4)
-    x = jnp.where(ok, x, 1)
-    y = jnp.where(ok, y, 1)
-    state.agent_pos = state.agent_pos.at[i].set(jnp.stack([x, y]))
-    state.agent_dir = state.agent_dir.at[i].set(rng.place_event_dir(k))
-    state.active = state.active.at[i].set(True)
-    return state
+def select_cell(params: EnvParams, free, xs, ys):
+    """Single place event against a fresh free mask (respawn path)."""
+    return select_from_words(params, pack_mask(free), xs, ys)
 
 
 def make_border(state: EnvState) -> EnvState:
@@ -111,63 +128,57 @@ def make_border(state: EnvState) -> EnvState:
 
 
 # --------------------------------------------------------------------------
-# Scenario generators (SPEC §6). Each returns (state, n_events, agent_mask).
-# Python loops below have static trip counts -> unrolled at trace time.
+# Scenario specs (SPEC §6). Each returns (state, events, agent_mask) where
+# ``events`` is a list, one entry per placement event number, of either None
+# (the event's draws are consumed but nothing is placed — doorkey's wall
+# draw) or (type, color, obj_state, region_mask_or_None). Values may be
+# traced; list structure is static.
 # --------------------------------------------------------------------------
 
-def gen_empty(params: EnvParams, state: EnvState, ke):
+def gen_empty(params: EnvParams, state: EnvState, split_x, door_y):
     """EmptyMultiGrid (``marlgrid/envs/__init__.py — §EmptyMultiGrid`` [H])."""
-    state = place_object(params, state, rng.fold_in(ke, 0), C.GOAL,
-                         C.COLOR_TO_IDX["green"])
-    return state, 1, None
+    return state, [(C.GOAL, C.COLOR_TO_IDX["green"], 0, None)], None
 
 
-def gen_cluttered(params: EnvParams, state: EnvState, ke):
+def gen_cluttered(params: EnvParams, state: EnvState, split_x, door_y):
     """ClutteredMultiGrid: n_clutter random walls + goal (SURVEY §2.1 [H])."""
-    for e in range(params.n_clutter):
-        state = place_object(params, state, rng.fold_in(ke, e), C.WALL,
-                             C.COLOR_TO_IDX["grey"])
-    state = place_object(params, state, rng.fold_in(ke, params.n_clutter),
-                         C.GOAL, C.COLOR_TO_IDX["green"])
-    return state, params.n_clutter + 1, None
+    grey = C.COLOR_TO_IDX["grey"]
+    events = [(C.WALL, grey, 0, None)] * params.n_clutter
+    events.append((C.GOAL, C.COLOR_TO_IDX["green"], 0, None))
+    return state, events, None
 
 
-def gen_doorkey(params: EnvParams, state: EnvState, ke):
+def gen_doorkey(params: EnvParams, state: EnvState, split_x, door_y):
     """DoorKey-style env (SURVEY §2.1 door/key env [M]; SPEC §6)."""
     W, H = params.width, params.height
-    k0 = rng.fold_in(ke, 0)
-    split_x = jax.random.randint(rng.fold_in(k0, 0), (), 2, W - 2,
-                                 dtype=jnp.int32)
-    door_y = jax.random.randint(rng.fold_in(k0, 1), (), 1, H - 1,
-                                dtype=jnp.int32)
     xs = jnp.arange(W)[:, None]
     ys = jnp.arange(H)[None, :]
     on_wall_col = (xs == split_x) & (ys >= 1) & (ys <= H - 2)
-    state.grid_type = jnp.where(on_wall_col, C.WALL, state.grid_type)
-    state.grid_color = jnp.where(on_wall_col, C.COLOR_TO_IDX["grey"],
-                                 state.grid_color)
+    grey = C.COLOR_TO_IDX["grey"]
     yellow = C.COLOR_TO_IDX["yellow"]
-    state = set_cell(state, split_x, door_y, C.DOOR, yellow, C.DOOR_LOCKED)
-    left = xs < split_x
-    right = xs > split_x
-    state = place_object(params, state, rng.fold_in(ke, 1), C.KEY, yellow,
-                         mask=left)
-    state = place_object(params, state, rng.fold_in(ke, 2), C.GOAL,
-                         C.COLOR_TO_IDX["green"], mask=right)
-    return state, 3, left
+    state.grid_type = jnp.where(on_wall_col, C.WALL, state.grid_type)
+    state.grid_color = jnp.where(on_wall_col, grey, state.grid_color)
+    on_door = (xs == split_x) & (ys == door_y)
+    state.grid_type = jnp.where(on_door, C.DOOR, state.grid_type)
+    state.grid_color = jnp.where(on_door, yellow, state.grid_color)
+    state.grid_state = jnp.where(on_door, C.DOOR_LOCKED, state.grid_state)
+    left = (xs < split_x) & jnp.ones((1, H), bool)
+    right = (xs > split_x) & jnp.ones((1, H), bool)
+    events = [
+        None,  # event 0: the split/door draw itself
+        (C.KEY, yellow, 0, left),
+        (C.GOAL, C.COLOR_TO_IDX["green"], 0, right),
+    ]
+    return state, events, left
 
 
-def gen_goal_cycle(params: EnvParams, state: EnvState, ke):
+def gen_goal_cycle(params: EnvParams, state: EnvState, split_x, door_y):
     """ClutteredGoalCycleEnv: clutter + cyclic BonusTiles (SURVEY §2.1 [M])."""
-    for e in range(params.n_clutter):
-        state = place_object(params, state, rng.fold_in(ke, e), C.WALL,
-                             C.COLOR_TO_IDX["grey"])
+    grey = C.COLOR_TO_IDX["grey"]
     pink = C.COLOR_TO_IDX["pink"]
-    for b in range(params.n_bonus_tiles):
-        state = place_object(params, state,
-                             rng.fold_in(ke, params.n_clutter + b),
-                             C.BONUS, pink, ostate=b)
-    return state, params.n_clutter + params.n_bonus_tiles, None
+    events = [(C.WALL, grey, 0, None)] * params.n_clutter
+    events += [(C.BONUS, pink, b, None) for b in range(params.n_bonus_tiles)]
+    return state, events, None
 
 
 SCENARIOS: Dict[str, Callable] = {
@@ -178,18 +189,70 @@ SCENARIOS: Dict[str, Callable] = {
 }
 
 
+def n_scenario_events(params: EnvParams) -> int:
+    return {"empty": 1,
+            "cluttered": params.n_clutter + 1,
+            "doorkey": 3,
+            "goal_cycle": params.n_clutter + params.n_bonus_tiles
+            }[params.scenario]
+
+
 def reset(params: EnvParams, key) -> EnvState:
     """Full episode reset (SPEC §6): border → scenario events → agent events.
 
-    Key schedule: ``k_events, k_state = split(key)``; placement event ``e``
-    uses ``fold_in(k_events, e)``; the post-reset state carries ``k_state``.
+    One bulk draw; a packed-bitmask serial chain over events; one final
+    paint of the board layers.
     """
-    k_events, k_state = jax.random.split(key)
+    W, H, N = params.width, params.height, params.n_agents
+    E = n_scenario_events(params) + N
+    x0, rw, y0, rh = interior_region(params)
+    k_state, xs, ys, dirs, split_x, door_y = rng.reset_draws(
+        key, E, params.max_place_tries, x0, rw, y0, rh, W, H)
+
     state = zeros_state(params, k_state)
     state = make_border(state)
-    state, n_ev, agent_mask = SCENARIOS[params.scenario](params, state,
-                                                         k_events)
-    for i in range(params.n_agents):
-        state = place_agent(params, state, i, rng.fold_in(k_events, n_ev + i),
-                            mask=agent_mask)
+    state, events, agent_mask = SCENARIOS[params.scenario](params, state,
+                                                          split_x, door_y)
+    assert len(events) == n_scenario_events(params)
+
+    words = pack_mask(state.grid_type == C.EMPTY)
+    placed = []  # (x, y, ok, type, color, obj_state) of painted objects
+    for e, ev in enumerate(events):
+        if ev is None:
+            continue
+        otype, ocolor, ostate, mask = ev
+        w = words if mask is None else words & pack_mask(mask)
+        x, y, ok = select_from_words(params, w, xs[e], ys[e])
+        words = jnp.where(ok, word_clear(words, x * H + y), words)
+        placed.append((x, y, ok, otype, ocolor, ostate))
+
+    base = len(events)
+    for i in range(N):
+        e = base + i
+        w = words if agent_mask is None else words & pack_mask(agent_mask)
+        x, y, ok = select_from_words(params, w, xs[e], ys[e])
+        # degenerate full-board fallback pins agents at (1, 1) (SPEC §4)
+        x = jnp.where(ok, x, 1)
+        y = jnp.where(ok, y, 1)
+        words = word_clear(words, x * H + y)
+        state.agent_pos = state.agent_pos.at[i].set(jnp.stack([x, y]))
+        state.agent_dir = state.agent_dir.at[i].set(dirs[e])
+        state.active = state.active.at[i].set(True)
+
+    if placed:
+        # one dense paint: all placed cells are distinct by construction
+        px = jnp.stack([p[0] for p in placed])          # (K,)
+        py = jnp.stack([p[1] for p in placed])
+        pok = jnp.stack([p[2] for p in placed])
+        pt = jnp.stack([jnp.asarray(p[3], jnp.int32) for p in placed])
+        pc = jnp.stack([jnp.asarray(p[4], jnp.int32) for p in placed])
+        ps = jnp.stack([jnp.asarray(p[5], jnp.int32) for p in placed])
+        cell = (((px[:, None, None] == jnp.arange(W)[None, :, None])
+                 & (py[:, None, None] == jnp.arange(H)[None, None, :]))
+                & pok[:, None, None])                   # (K, W, H)
+        hit = cell.any(0)
+        paint = lambda v: (cell * v[:, None, None]).sum(0)  # noqa: E731
+        state.grid_type = jnp.where(hit, paint(pt), state.grid_type)
+        state.grid_color = jnp.where(hit, paint(pc), state.grid_color)
+        state.grid_state = jnp.where(hit, paint(ps), state.grid_state)
     return state

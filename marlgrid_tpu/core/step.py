@@ -1,12 +1,14 @@
 """The jitted multi-agent transition function (SPEC §5).
 
 TPU-native replacement for the reference's Python per-agent step loop
-(``marlgrid/base.py — §step``, SURVEY §3.3): the randomized-priority sequential
-agent micro-loop is kept sequential (it is the conflict-resolution *spec*,
-SURVEY §7.3 item 2) but each micro-step is straight-line masked array code —
-all seven action outcomes are computed and selected with ``where`` instead of
-data-dependent branches, which is what XLA wants. n_agents is tiny (≤8 in all
-reference configs) so the loop is unrolled at trace time.
+(``marlgrid/base.py — §step``, SURVEY §3.3): the randomized-priority
+sequential agent micro-loop is kept sequential (it is the conflict-resolution
+*spec*, SURVEY §7.3 item 2) but each micro-step is straight-line masked array
+code — all seven action outcomes are computed and selected with ``where``,
+and every dynamic grid/agent access goes through ``core.dense`` one-hot
+arithmetic instead of gathers/scatters (vmapped dynamic-index gathers
+serialize on TPU; see dense.py). n_agents is tiny (≤8 in all reference
+configs) so the loop is unrolled at trace time.
 """
 from __future__ import annotations
 
@@ -14,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from . import constants as C
+from . import dense as D
 from . import rng
 from .grid_gen import free_mask, interior_region, reset, select_cell
 from .state import EnvParams, EnvState
@@ -21,26 +24,34 @@ from .state import EnvParams, EnvState
 _DIR_VEC = jnp.asarray(C.DIR_VEC)
 
 
+def _read_cell3(state: EnvState, x, y):
+    """(type, color, state) of one cell, gather-free."""
+    W, H = state.grid_type.shape
+    ox = D.onehot(x, W)
+    oy = D.onehot(y, H)
+    row = lambda layer: ((layer * ox[:, None]).sum(0) * oy).sum(0)  # noqa: E731
+    return (row(state.grid_type), row(state.grid_color),
+            row(state.grid_state))
+
+
 def _agent_micro_step(params: EnvParams, state: EnvState, rew, i, actions,
-                      sub):
+                      respawn_draws):
     """One agent's action, applied to the running state (SPEC §5 step 2)."""
-    action = actions[i]
-    active = state.active[i]
-    pos = state.agent_pos[i]
-    d = state.agent_dir[i]
+    action = D.read_row(actions, i)
+    active = D.read_row(state.active, i)
+    pos = D.read_row(state.agent_pos, i)
+    d = D.read_row(state.agent_dir, i)
     N = params.n_agents
 
     # --- rotation -----------------------------------------------------------
     turn = (jnp.where(active & (action == C.RIGHT), 1, 0)
             - jnp.where(active & (action == C.LEFT), 1, 0))
-    state.agent_dir = state.agent_dir.at[i].set((d + turn) % 4)
+    state.agent_dir = D.write_row(state.agent_dir, i, (d + turn) % 4)
 
     # --- the forward cell (always in bounds: boards are wall-bordered) ------
-    f = pos + _DIR_VEC[d]
+    f = pos + (D.onehot(d, 4)[:, None] * _DIR_VEC).sum(0)
     fx, fy = f[0], f[1]
-    ft = state.grid_type[fx, fy]
-    fc = state.grid_color[fx, fy]
-    fs = state.grid_state[fx, fy]
+    ft, fc, fs = _read_cell3(state, fx, fy)
 
     others = jnp.arange(N) != i
     at_f = ((state.agent_pos[:, 0] == fx) & (state.agent_pos[:, 1] == fy)
@@ -51,7 +62,9 @@ def _agent_micro_step(params: EnvParams, state: EnvState, rew, i, actions,
     blocked = blocking.any()
 
     # --- forward ------------------------------------------------------------
-    moves = active & (action == C.FORWARD) & C.can_overlap(ft, fs) & ~blocked
+    can_overlap = (D.table_lookup(C.CAN_OVERLAP_BASE, ft)
+                   | ((ft == C.DOOR) & (fs == C.DOOR_OPEN)))
+    moves = active & (action == C.FORWARD) & can_overlap & ~blocked
     new_pos = jnp.where(moves, f, pos)
 
     on_goal = moves & (ft == C.GOAL)
@@ -62,7 +75,7 @@ def _agent_micro_step(params: EnvParams, state: EnvState, rew, i, actions,
          + jnp.where(on_lava, params.lava_penalty, 0.0))
 
     # bonus-tile cycle (SPEC §5; ``marlgrid/objects.py — §BonusTile`` [M])
-    lb = state.last_bonus[i]
+    lb = D.read_row(state.last_bonus, i)
     b = fs
     first = lb < 0
     same = b == lb
@@ -70,32 +83,35 @@ def _agent_micro_step(params: EnvParams, state: EnvState, rew, i, actions,
     bonus_r = jnp.where(first | succ, params.bonus_reward,
                         jnp.where(same, 0.0, -params.bonus_penalty))
     r = r + jnp.where(on_bonus, bonus_r, 0.0)
-    state.last_bonus = state.last_bonus.at[i].set(
-        jnp.where(on_bonus & ~same, b, lb))
+    state.last_bonus = D.write_row(state.last_bonus, i,
+                                   jnp.where(on_bonus & ~same, b, lb))
 
     deact = (on_goal & (not params.respawn)) | on_lava
-    state.active = state.active.at[i].set(active & ~deact)
+    state.active = D.write_row(state.active, i, active & ~deact)
 
     # Commit the move BEFORE any respawn draw so the vacated cell counts as
     # free in the respawn's validity mask (matches the oracle's ordering).
-    state.agent_pos = state.agent_pos.at[i].set(new_pos)
+    state.agent_pos = D.write_row(state.agent_pos, i, new_pos)
 
     if params.respawn:
         # In-step respawn after reaching a goal: a place event per SPEC §4.
-        rk = rng.respawn_key(sub, i)
-        rx, ry, ok = select_cell(params, rk, free_mask(state),
-                                 interior_region(params))
+        rxs, rys, rdirs = respawn_draws
+        rx, ry, ok = select_cell(params, free_mask(state),
+                                 D.read_row(rxs, i), D.read_row(rys, i))
         do = on_goal & ok
-        state.agent_pos = state.agent_pos.at[i].set(
-            jnp.where(do, jnp.stack([rx, ry]), new_pos))
-        rdir = rng.place_event_dir(rk)
-        state.agent_dir = state.agent_dir.at[i].set(
-            jnp.where(do, rdir, state.agent_dir[i]))
+        state.agent_pos = D.write_row(
+            state.agent_pos, i, jnp.where(do, jnp.stack([rx, ry]), new_pos))
+        state.agent_dir = D.write_row(
+            state.agent_dir, i,
+            jnp.where(do, D.read_row(rdirs, i),
+                      D.read_row(state.agent_dir, i)))
 
     # --- pickup / drop / toggle (mutually exclusive by action code) ---------
-    cty, cco, cst = state.carry_type[i], state.carry_color[i], \
-        state.carry_state[i]
-    pick = active & (action == C.PICKUP) & C.can_pickup(ft) & (cty == C.EMPTY)
+    cty = D.read_row(state.carry_type, i)
+    cco = D.read_row(state.carry_color, i)
+    cst = D.read_row(state.carry_state, i)
+    pick = active & (action == C.PICKUP) \
+        & D.table_lookup(C.CAN_PICKUP, ft) & (cty == C.EMPTY)
     drop = active & (action == C.DROP) & (cty != C.EMPTY) & (ft == C.EMPTY) \
         & ~at_f.any()
     tog = active & (action == C.TOGGLE)
@@ -117,18 +133,21 @@ def _agent_micro_step(params: EnvParams, state: EnvState, rew, i, actions,
     cell_s = jnp.where(pick, 0, jnp.where(drop, cst,
                        jnp.where(door_tog, new_door,
                                  jnp.where(box_tog, 0, fs))))
-    state.grid_type = state.grid_type.at[fx, fy].set(cell_t)
-    state.grid_color = state.grid_color.at[fx, fy].set(cell_c)
-    state.grid_state = state.grid_state.at[fx, fy].set(cell_s)
+    state.grid_type = D.write_cell(state.grid_type, fx, fy, cell_t)
+    state.grid_color = D.write_cell(state.grid_color, fx, fy, cell_c)
+    state.grid_state = D.write_cell(state.grid_state, fx, fy, cell_s)
 
-    state.carry_type = state.carry_type.at[i].set(
+    state.carry_type = D.write_row(
+        state.carry_type, i,
         jnp.where(pick, ft, jnp.where(drop, C.EMPTY, cty)))
-    state.carry_color = state.carry_color.at[i].set(
+    state.carry_color = D.write_row(
+        state.carry_color, i,
         jnp.where(pick, fc, jnp.where(drop, 0, cco)))
-    state.carry_state = state.carry_state.at[i].set(
+    state.carry_state = D.write_row(
+        state.carry_state, i,
         jnp.where(pick, fs, jnp.where(drop, 0, cst)))
 
-    rew = rew.at[i].add(r)
+    rew = rew + r * D.onehot(i, N, rew.dtype)
     return state, rew
 
 
@@ -140,14 +159,16 @@ def step(params: EnvParams, state: EnvState, actions):
     """
     N = params.n_agents
     actions = jnp.asarray(actions, jnp.int32)
-    next_key, sub = rng.split_step_key(state.key)
-    state.key = next_key
-    perm = rng.step_perm(sub, N)
+    x0, rw, y0, rh = interior_region(params)
+    draws = rng.step_draws(state.key, N, params.max_place_tries, x0, rw,
+                           y0, rh, with_respawn=params.respawn)
+    state.key, perm = draws[0], draws[1]
+    respawn_draws = draws[2:] if params.respawn else None
 
     rew = jnp.zeros((N,), jnp.float32)
     for j in range(N):  # static unroll; sequential priority (SURVEY §3.3)
         state, rew = _agent_micro_step(params, state, rew, perm[j], actions,
-                                       sub)
+                                       respawn_draws)
 
     state.step_count = state.step_count + 1
     if params.reward_decay:
@@ -176,6 +197,59 @@ def step_autoreset(params: EnvParams, state: EnvState, actions):
         stepped, fresh)
     info = {
         "episode_return": jnp.where(done, stepped.accum_reward.sum(), 0.0),
+        "episode_length": jnp.where(done, stepped.step_count, 0),
+    }
+    return new_state, rew, done, info
+
+
+def step_autoreset_batch(params: EnvParams, state: EnvState, actions):
+    """Batch-level autoreset (SPEC §9, shared-board variant): vmapped step +
+    ONE fresh board per step, selected into every env that finished.
+
+    Per-env fresh boards (``step_autoreset``) regenerate B boards per step of
+    which only the ~B/max_steps done ones are used — at batch 4096 that made
+    reset generation the single largest step cost. Here the fresh board is
+    generated once (keyed off env 0's post-step key) and every reset env gets
+    it, with a distinct re-derived step key so their subsequent RNG streams
+    diverge. Envs finishing on the same step share a layout; they diverge
+    from the first post-reset action.
+
+    ``state``/``actions`` are batched (B, …); returns (state, rew, done,
+    info) batched.
+    """
+    stepped, rew, done = jax.vmap(
+        lambda s, a: step(params, s, a))(state, actions)
+    fresh = reset(params, rng.autoreset_key(stepped.key[0]))
+    return _select_fresh(stepped, rew, done, fresh)
+
+
+def step_autoreset_with_fresh(params: EnvParams, state: EnvState, actions,
+                              fresh: EnvState):
+    """Shared-board autoreset with a caller-provided fresh board.
+
+    Rollout loops pre-generate one fresh board per scan step (a single
+    vmapped reset OUTSIDE the scan) and pass board t here at step t — inside
+    the scan only the cheap select/re-key remains. An unbatched reset inside
+    the scan body is pure serial kernel-launch overhead; a per-env batched
+    one regenerates B boards to use ~B/max_steps of them.
+    """
+    stepped, rew, done = jax.vmap(
+        lambda s, a: step(params, s, a))(state, actions)
+    return _select_fresh(stepped, rew, done, fresh)
+
+
+def _select_fresh(stepped: EnvState, rew, done, fresh: EnvState):
+    B = done.shape[0]
+
+    def sel(a, b):
+        return jnp.where(done.reshape((B,) + (1,) * (b.ndim)), b[None], a)
+
+    new_state = jax.tree.map(sel, stepped, fresh)
+    # distinct per-env step keys so post-reset RNG streams diverge
+    env_keys = jax.vmap(lambda i: rng.fold_in(fresh.key, i))(jnp.arange(B))
+    new_state.key = jnp.where(done[:, None], env_keys, stepped.key)
+    info = {
+        "episode_return": jnp.where(done, stepped.accum_reward.sum(-1), 0.0),
         "episode_length": jnp.where(done, stepped.step_count, 0),
     }
     return new_state, rew, done, info

@@ -39,11 +39,11 @@ class OracleEnv:
         p = params
         n_events = _n_scenario_events(p) + p.n_agents
         self._reset_draws = jax.jit(functools.partial(
-            rng.all_reset_draws, n_events=n_events,
+            rng.reset_draws, n_events=n_events,
             max_tries=p.max_place_tries, x0=1, rw=p.width - 2, y0=1,
             rh=p.height - 2, width=p.width, height=p.height))
         self._step_draws = jax.jit(functools.partial(
-            rng.all_step_draws, n_agents=p.n_agents,
+            rng.step_draws, n_agents=p.n_agents,
             max_tries=p.max_place_tries, x0=1, rw=p.width - 2, y0=1,
             rh=p.height - 2, with_respawn=p.respawn))
 

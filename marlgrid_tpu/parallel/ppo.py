@@ -1,0 +1,242 @@
+"""Device-resident PPO for the gridworld (BASELINE config #5 stack).
+
+The reference ships no learner (training lived in the author's external repo
+driving ``IndependentLearners`` — SURVEY §2.1); this module provides the
+TPU-native equivalent: rollouts are ``lax.scan`` over the vmapped env, GAE and
+the clipped-objective update are pure jitted functions, and the whole
+iteration (rollout + update) is ONE compiled program with no host-Python in
+the loop (BASELINE.json north star). Parameter-shared policy across agents
+(each agent is an independent sample), bfloat16 compute on the MXU.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+
+from ..core import constants as C
+from ..core import grid_gen, obs as obs_mod, step as step_mod
+from ..core.state import EnvParams
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    n_envs: int = 1024
+    rollout_len: int = 64
+    lr: float = 3e-4
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    vf_coef: float = 0.5
+    ent_coef: float = 0.01
+    n_epochs: int = 2
+    n_minibatches: int = 4
+    max_grad_norm: float = 0.5
+    hidden: int = 128
+    channels: Tuple[int, ...] = (32, 64)
+    dtype: Any = jnp.bfloat16  # MXU-friendly compute dtype
+
+
+class ActorCritic(nn.Module):
+    """CNN torso on symbolic 'encode' observations + policy/value heads.
+
+    The (vs, vs, 3) int obs is embedded channelwise (type/color/state each get
+    a small learned embedding), then conv → dense. Activations are bfloat16
+    (params float32) so matmuls/convs hit the MXU at full rate; heads are
+    cast back to float32 for numerics.
+    """
+
+    cfg: PPOConfig
+
+    @nn.compact
+    def __call__(self, obs):  # obs: (..., vs, vs, 3) int32
+        cfg = self.cfg
+        emb_t = nn.Embed(C.N_TYPES + 1, 8, dtype=cfg.dtype)(obs[..., 0])
+        emb_c = nn.Embed(C.N_COLORS + 1, 4, dtype=cfg.dtype)(obs[..., 1])
+        emb_s = nn.Embed(20, 4, dtype=cfg.dtype)(
+            jnp.clip(obs[..., 2], 0, 19))
+        x = jnp.concatenate([emb_t, emb_c, emb_s], axis=-1)
+        for ch in cfg.channels:
+            x = nn.Conv(ch, (3, 3), dtype=cfg.dtype)(x)
+            x = nn.relu(x)
+        x = x.reshape(*x.shape[:-3], -1)
+        x = nn.relu(nn.Dense(cfg.hidden, dtype=cfg.dtype, name="torso")(x))
+        # 'model'-axis tensor parallelism: GSPMD shards this dense pair when
+        # the caller constrains params/activations over the mesh.
+        logits = nn.Dense(C.N_ACTIONS, dtype=jnp.float32, name="pi")(
+            x.astype(jnp.float32))
+        value = nn.Dense(1, dtype=jnp.float32, name="v")(
+            x.astype(jnp.float32))
+        return logits, value[..., 0]
+
+
+def init_state(env_params: EnvParams, cfg: PPOConfig, key):
+    """(net, params, opt, opt_state) for the shared policy."""
+    net = ActorCritic(cfg)
+    obs_shape = (env_params.view_size, env_params.view_size, 3)
+    params = net.init(key, jnp.zeros((1,) + obs_shape, jnp.int32))
+    tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
+                     optax.adam(cfg.lr))
+    return net, params, tx, tx.init(params)
+
+
+def _gae(rew, value, done, last_value, gamma, lam):
+    """Generalized advantage estimation over the scanned trajectory.
+
+    rew/value/done: (T, B) — episode boundaries (done) cut the bootstrap.
+    """
+    def body(carry, xs):
+        gae, next_value = carry
+        r, v, d = xs
+        nonterm = 1.0 - d
+        delta = r + gamma * next_value * nonterm - v
+        gae = delta + gamma * lam * nonterm * gae
+        return (gae, v), gae
+
+    (_, _), adv = jax.lax.scan(
+        body, (jnp.zeros_like(last_value), last_value),
+        (rew, value, done.astype(jnp.float32)), reverse=True)
+    return adv, adv + value
+
+
+def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
+                    tx, mesh=None):
+    """Build the fused rollout+update step: ONE jitted program.
+
+    fn(params, opt_state, env_state, key) ->
+        (params, opt_state, env_state, key, metrics)
+
+    When ``mesh`` is given, the env batch is sharding-constrained over the
+    'data' axis; GSPMD turns the gradient mean into a psum over ICI.
+    """
+    B, T, N = cfg.n_envs, cfg.rollout_len, env_params.n_agents
+
+    def obs_of(state):
+        return jax.vmap(lambda s: obs_mod.all_agent_obs(env_params, s))(state)
+
+    def constrain(tree):
+        if mesh is None:
+            return tree
+        return jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(
+                x, jax.sharding.NamedSharding(mesh, P("data"))), tree)
+
+    def rollout(params, env_state, key):
+        obs0 = obs_of(env_state)
+
+        def body(carry, _):
+            env_state, obs, key = carry
+            key, ak = jax.random.split(key)
+            logits, value = net.apply(params, obs)      # (B, N, A), (B, N)
+            a = jax.random.categorical(ak, logits)      # (B, N)
+            logp = jax.nn.log_softmax(logits)
+            logp_a = jnp.take_along_axis(logp, a[..., None], -1)[..., 0]
+            env_state, rew, done, info = step_mod.step_autoreset_batch(
+                env_params, env_state, a)
+            nobs = obs_of(env_state)
+            env_state = constrain(env_state)
+            tr = dict(obs=obs, act=a, logp=logp_a, val=value, rew=rew,
+                      done=done, ep_ret=info["episode_return"],
+                      ep_len=info["episode_length"])
+            return (env_state, nobs, key), tr
+
+        (env_state, last_obs, key), traj = jax.lax.scan(
+            body, (env_state, obs0, key), None, length=T)
+        _, last_value = net.apply(params, last_obs)
+        return env_state, key, traj, last_value
+
+    def loss_fn(params, batch):
+        logits, value = net.apply(params, batch["obs"])
+        logp = jax.nn.log_softmax(logits)
+        logp_a = jnp.take_along_axis(logp, batch["act"][..., None],
+                                     -1)[..., 0]
+        ratio = jnp.exp(logp_a - batch["logp"])
+        adv = batch["adv"]
+        adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+        pg = -jnp.minimum(
+            ratio * adv,
+            jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv).mean()
+        v_clipped = batch["val"] + jnp.clip(value - batch["val"],
+                                            -cfg.clip_eps, cfg.clip_eps)
+        vf = 0.5 * jnp.maximum((value - batch["ret"]) ** 2,
+                               (v_clipped - batch["ret"]) ** 2).mean()
+        ent = -(jax.nn.softmax(logits) * logp).sum(-1).mean()
+        total = pg + cfg.vf_coef * vf - cfg.ent_coef * ent
+        return total, dict(pg_loss=pg, vf_loss=vf, entropy=ent)
+
+    def update(params, opt_state, traj, last_value, key):
+        # fold agents into the batch: each agent is an independent sample
+        rew = traj["rew"].reshape(T, B * N)
+        val = traj["val"].reshape(T, B * N)
+        done = jnp.repeat(traj["done"][..., None], N, -1).reshape(T, B * N)
+        adv, ret = _gae(rew, val, done, last_value.reshape(B * N),
+                        cfg.gamma, cfg.gae_lambda)
+        flat = dict(
+            obs=traj["obs"].reshape(T * B * N, *traj["obs"].shape[3:]),
+            act=traj["act"].reshape(T * B * N),
+            logp=traj["logp"].reshape(T * B * N),
+            val=val.reshape(T * B * N),
+            adv=adv.reshape(T * B * N),
+            ret=ret.reshape(T * B * N),
+        )
+        n = T * B * N
+        mb = n // cfg.n_minibatches
+
+        def epoch(carry, _):
+            params, opt_state, key = carry
+            key, pk = jax.random.split(key)
+            perm = jax.random.permutation(pk, n)
+
+            def minibatch(carry, idx):
+                params, opt_state = carry
+                batch = jax.tree.map(lambda x: x[idx], flat)
+                (l, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, batch)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), (l, aux)
+
+            idxs = perm[:mb * cfg.n_minibatches].reshape(
+                cfg.n_minibatches, mb)
+            (params, opt_state), (ls, auxs) = jax.lax.scan(
+                minibatch, (params, opt_state), idxs)
+            return (params, opt_state, key), (ls, auxs)
+
+        (params, opt_state, key), (ls, auxs) = jax.lax.scan(
+            epoch, (params, opt_state, key), None, length=cfg.n_epochs)
+        metrics = {k: v.mean() for k, v in auxs.items()}
+        metrics["loss"] = ls.mean()
+        return params, opt_state, metrics
+
+    def train_step(params, opt_state, env_state, key):
+        env_state, key, traj, last_value = rollout(params, env_state, key)
+        params, opt_state, metrics = update(params, opt_state, traj,
+                                            last_value, key)
+        done_f = traj["done"].astype(jnp.float32)
+        n_eps = done_f.sum()
+        metrics["episode_return"] = jnp.where(
+            n_eps > 0, traj["ep_ret"].sum() / jnp.maximum(n_eps, 1), 0.0)
+        metrics["episode_length"] = jnp.where(
+            n_eps > 0,
+            traj["ep_len"].astype(jnp.float32).sum()
+            / jnp.maximum(n_eps, 1), 0.0)
+        metrics["n_episodes"] = n_eps
+        key = jax.random.fold_in(key, 1)
+        return params, opt_state, env_state, key, metrics
+
+    return jax.jit(train_step, donate_argnums=(0, 1, 2))
+
+
+def init_env_batch(env_params: EnvParams, n_envs: int, key, mesh=None):
+    """Vmapped reset of the env batch, optionally sharded over 'data'."""
+    keys = jax.random.split(key, n_envs)
+    if mesh is not None:
+        keys = jax.lax.with_sharding_constraint(
+            keys, jax.sharding.NamedSharding(mesh, P("data")))
+    return jax.jit(jax.vmap(lambda k: grid_gen.reset(env_params, k)))(keys)

@@ -1,0 +1,104 @@
+"""Training entry point: PPO on a registered env config, fully device-resident.
+
+Usage (single host, all devices):
+    python -m marlgrid_tpu.parallel.train --scenario goal_cycle \
+        --grid-size 13 --agents 4 --envs 4096 --iters 100
+
+Multi-host pods: run the same command per host after
+``jax.distributed.initialize`` (see --distributed); the mesh spans hosts and
+gradient psums ride ICI/DCN while env shards stay host-local (SURVEY §2.3).
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import numpy as np
+
+from ..core.state import EnvParams, default_agent_colors
+from ..utils import checkpoint as ckpt_mod
+from ..utils.metrics import MetricsLogger
+from . import ppo
+from .mesh import make_mesh
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--scenario", default="goal_cycle")
+    p.add_argument("--grid-size", type=int, default=13)
+    p.add_argument("--agents", type=int, default=4)
+    p.add_argument("--view-size", type=int, default=7)
+    p.add_argument("--max-steps", type=int, default=250)
+    p.add_argument("--envs", type=int, default=4096)
+    p.add_argument("--rollout", type=int, default=64)
+    p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--model-shards", type=int, default=1)
+    p.add_argument("--metrics", default=None, help="JSONL metrics path")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--resume", default=None)
+    p.add_argument("--distributed", action="store_true",
+                   help="call jax.distributed.initialize() first (pods)")
+    p.add_argument("--profile-dir", default=None,
+                   help="jax.profiler trace output dir (SURVEY §5 tracing)")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.distributed:
+        jax.distributed.initialize()
+
+    ep = EnvParams(
+        width=args.grid_size, height=args.grid_size, n_agents=args.agents,
+        scenario=args.scenario, max_steps=args.max_steps,
+        view_size=args.view_size, observation_style="encode",
+        reward_decay=args.scenario != "goal_cycle",
+        agent_colors=default_agent_colors(args.agents))
+    cfg = ppo.PPOConfig(n_envs=args.envs, rollout_len=args.rollout,
+                        lr=args.lr)
+    mesh = make_mesh(n_model=args.model_shards)
+
+    key = jax.random.PRNGKey(args.seed)
+    net, params, tx, opt_state = ppo.init_state(ep, cfg, key)
+    env_state = ppo.init_env_batch(ep, cfg.n_envs,
+                                   jax.random.fold_in(key, 1), mesh)
+    if args.resume:
+        restored = ckpt_mod.restore(args.resume,
+                                    dict(params=params, opt_state=opt_state))
+        params, opt_state = restored["params"], restored["opt_state"]
+
+    step = ppo.make_train_step(ep, cfg, net, tx, mesh=mesh)
+    log = MetricsLogger(args.metrics)
+    key = jax.random.fold_in(key, 2)
+
+    env_steps_per_iter = cfg.n_envs * cfg.rollout_len
+    t0 = time.time()
+    for it in range(args.iters):
+        if args.profile_dir and it == 2:
+            jax.profiler.start_trace(args.profile_dir)
+        params, opt_state, env_state, key, metrics = step(
+            params, opt_state, env_state, key)
+        metrics = {k: float(v) for k, v in metrics.items()}
+        dt = time.time() - t0
+        t0 = time.time()
+        log.log(it, env_steps_per_s=env_steps_per_iter / dt,
+                agent_steps_per_s=env_steps_per_iter * ep.n_agents / dt,
+                **metrics)
+        if args.profile_dir and it == 4:
+            jax.profiler.stop_trace()
+        if (args.checkpoint_dir and args.checkpoint_every
+                and (it + 1) % args.checkpoint_every == 0):
+            ckpt_mod.save(args.checkpoint_dir,
+                          dict(params=jax.device_get(params),
+                               opt_state=jax.device_get(opt_state)),
+                          step=it + 1)
+    log.close()
+    return params
+
+
+if __name__ == "__main__":
+    main()

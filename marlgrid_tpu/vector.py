@@ -54,9 +54,8 @@ class VectorEnv:
 
         def _step(state, actions):
             if auto_reset:
-                state, rew, done, info = jax.vmap(
-                    lambda s, a: step_mod.step_autoreset(params, s, a)
-                )(state, actions)
+                state, rew, done, info = step_mod.step_autoreset_batch(
+                    params, state, actions)
             else:
                 state, rew, done = jax.vmap(
                     lambda s, a: step_mod.step(params, s, a))(state, actions)

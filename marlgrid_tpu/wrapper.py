@@ -39,15 +39,17 @@ def _compiled(params: EnvParams):
     obs_fn = jax.jit(lambda s: obs_mod.all_agent_obs(params, s, *luts))
 
     def _visible_world(s, i):
-        wx, wy, inb = obs_mod.view_world_coords(params, s.agent_pos[i],
-                                                s.agent_dir[i])
+        w, inb = obs_mod.view_world_coords(params, s.agent_pos[i],
+                                           s.agent_dir[i])
+        wx, wy = w[..., 0], w[..., 1]
         if params.see_through_walls:
             vis = jnp.ones_like(inb)
         else:
-            vt = jnp.where(inb, s.grid_type[wx, wy], C.WALL)
-            vst = jnp.where(inb, s.grid_state[wx, wy], 0)
+            vt, _, vst, _, _, _ = obs_mod.view_cells(params, s, i)
             vis = obs_mod.process_vis(obs_mod.transparency(vt, vst),
                                       params.view_size, params.view_offset)
+        wx = jnp.clip(wx, 0, params.width - 1)
+        wy = jnp.clip(wy, 0, params.height - 1)
         return wx, wy, inb & vis
 
     vis_fn = jax.jit(lambda s: jax.vmap(lambda i: _visible_world(s, i))(
