@@ -90,7 +90,12 @@ def view_cells(params: EnvParams, state: EnvState, i, padded=None):
         .astype(jnp.float32)
     oy = (jnp.clip(w[..., 1:2], 0, H - 1) == jnp.arange(H)) \
         .astype(jnp.float32)
+    # Barriers pin the contraction as a standalone dot: without them XLA
+    # fuses it with the surrounding compare/select chain into a kLoop fusion
+    # that iterates serially over the env batch (~500x slower, measured).
+    ox, oy, padded = jax.lax.optimization_barrier((ox, oy, padded))
     packed = D.select_window(padded, ox, oy).astype(jnp.int32)
+    packed = jax.lax.optimization_barrier(packed)
     wall = C.WALL + _PACK_C * C.COLOR_TO_IDX["grey"]
     packed = jnp.where(inb, packed, wall)
     vt = packed % _PACK_C
