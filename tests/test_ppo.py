@@ -1,0 +1,99 @@
+"""PPO learner stack tests (BASELINE config #5 plumbing) on the virtual
+CPU mesh — small shapes, one compile each."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from marlgrid_tpu.core.state import EnvParams, default_agent_colors
+from marlgrid_tpu.parallel import ppo
+from marlgrid_tpu.parallel.mesh import make_mesh
+
+EP = EnvParams(width=9, height=9, n_agents=2, scenario="empty", max_steps=20,
+               view_size=5, observation_style="encode",
+               agent_colors=default_agent_colors(2))
+CFG = ppo.PPOConfig(n_envs=8, rollout_len=8, n_epochs=1, n_minibatches=2)
+
+
+def _run_steps(mesh, n_steps=2):
+    key = jax.random.PRNGKey(0)
+    net, params, tx, opt_state = ppo.init_state(EP, CFG, key)
+    env_state = ppo.init_env_batch(EP, CFG.n_envs, jax.random.fold_in(key, 1),
+                                   mesh)
+    step = ppo.make_train_step(EP, CFG, net, tx, mesh=mesh)
+    ms = []
+    for _ in range(n_steps):
+        params, opt_state, env_state, key, m = step(params, opt_state,
+                                                    env_state, key)
+        ms.append({k: float(v) for k, v in m.items()})
+    return params, ms
+
+
+def test_train_step_runs_and_is_finite():
+    _, ms = _run_steps(mesh=None)
+    for m in ms:
+        assert np.isfinite(m["loss"])
+        assert np.isfinite(m["entropy"]) and m["entropy"] > 0
+        assert m["n_episodes"] >= 0
+
+
+def test_train_step_sharded(devices8):
+    mesh = make_mesh(n_data=4, n_model=2, devices=devices8)
+    _, ms = _run_steps(mesh=mesh)
+    assert np.isfinite(ms[-1]["loss"])
+
+
+def test_network_output_shapes():
+    net, params, _, _ = ppo.init_state(EP, CFG, jax.random.PRNGKey(0))
+    obs = jnp.zeros((4, 2, 5, 5, 3), jnp.int32)
+    logits, value = net.apply(params, obs)
+    assert logits.shape == (4, 2, 7)
+    assert value.shape == (4, 2)
+    assert logits.dtype == jnp.float32
+
+
+def test_gae_matches_reference_impl():
+    T, B = 5, 3
+    rng = np.random.default_rng(0)
+    rew = rng.normal(size=(T, B)).astype(np.float32)
+    val = rng.normal(size=(T, B)).astype(np.float32)
+    done = rng.random((T, B)) < 0.3
+    last = rng.normal(size=(B,)).astype(np.float32)
+    gamma, lam = 0.99, 0.95
+    adv, ret = jax.jit(lambda *a: ppo._gae(*a, gamma, lam))(
+        jnp.asarray(rew), jnp.asarray(val), jnp.asarray(done),
+        jnp.asarray(last))
+    # reference: plain backward python loop
+    exp = np.zeros((T, B), np.float32)
+    gae = np.zeros(B, np.float32)
+    next_v = last.copy()
+    for t in reversed(range(T)):
+        nonterm = 1.0 - done[t]
+        delta = rew[t] + gamma * next_v * nonterm - val[t]
+        gae = delta + gamma * lam * nonterm * gae
+        exp[t] = gae
+        next_v = val[t]
+    np.testing.assert_allclose(np.asarray(adv), exp, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ret), exp + val, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_learning_signal():
+    """A few iterations on a trivial task should increase episode return."""
+    ep = EnvParams(width=7, height=7, n_agents=1, scenario="empty",
+                   max_steps=12, view_size=5, observation_style="encode",
+                   agent_colors=default_agent_colors(1))
+    cfg = ppo.PPOConfig(n_envs=64, rollout_len=24, n_epochs=2,
+                        n_minibatches=2, lr=1e-3, ent_coef=0.003)
+    key = jax.random.PRNGKey(1)
+    net, params, tx, opt_state = ppo.init_state(ep, cfg, key)
+    env_state = ppo.init_env_batch(ep, cfg.n_envs, jax.random.fold_in(key, 1))
+    step = ppo.make_train_step(ep, cfg, net, tx)
+    rets = []
+    for it in range(30):
+        params, opt_state, env_state, key, m = step(params, opt_state,
+                                                    env_state, key)
+        rets.append(float(m["episode_return"]))
+    early = np.mean(rets[2:8])
+    late = np.mean(rets[-6:])
+    assert late > early + 0.05, f"no learning: early={early:.3f} late={late:.3f}"
