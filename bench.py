@@ -83,6 +83,19 @@ def engine_steps_per_sec(args, params):
         state, key, acc = rollout(state, key)
     jax.block_until_ready(acc)
     dt = time.perf_counter() - t0
+
+    if args.trace:
+        jax.profiler.start_trace(args.trace)
+        state, key, acc = rollout(state, key)
+        jax.block_until_ready(acc)
+        jax.profiler.stop_trace()
+        with open(f"{args.trace}/hlo.txt", "w") as f:
+            f.write(rollout.lower(state, key).compile().as_text())
+        from marlgrid_tpu.utils.profiling import hotspots
+
+        for ms, src in hotspots(args.trace,
+                                open(f"{args.trace}/hlo.txt").read()):
+            print(f"[trace] {ms:9.2f} ms  {src}", file=sys.stderr)
     return B * T * reps / dt, float(acc)
 
 
@@ -121,7 +134,17 @@ def main(argv=None):
     p.add_argument("--obs", default="encode", choices=["encode", "image"])
     p.add_argument("--baseline-steps", type=int, default=300)
     p.add_argument("--skip-baseline", action="store_true")
+    p.add_argument("--trace", default=None,
+                   help="profile one rep into this dir + print hotspots")
+    p.add_argument("--compile-cache", default=None,
+                   help="persistent XLA compile cache dir")
     args = p.parse_args(argv)
+
+    if args.compile_cache:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     params = build_params(args)
     eng, checksum = engine_steps_per_sec(args, params)

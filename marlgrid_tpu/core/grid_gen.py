@@ -41,20 +41,20 @@ def n_words(params: EnvParams) -> int:
     return -(-params.width * params.height // 32)
 
 
-def pack_mask(mask) -> jax.Array:
-    """(W, H) bool -> (nw,) uint32 packed words."""
-    W, H = mask.shape
-    nw = -(-W * H // 32)
-    bits = jnp.zeros((nw * 32,), jnp.uint32).at[:W * H].set(
-        mask.reshape(-1).astype(jnp.uint32))
+def pack_mask(flat_mask) -> jax.Array:
+    """(W*H,) bool -> (nw,) uint32 packed words (flat x-major indexing)."""
+    M = flat_mask.shape[-1]
+    nw = -(-M // 32)
+    bits = jnp.zeros((nw * 32,), jnp.uint32).at[:M].set(
+        flat_mask.astype(jnp.uint32))
     return (bits.reshape(nw, 32)
             << jnp.arange(32, dtype=jnp.uint32)).sum(-1, jnp.uint32)
 
 
-def unpack_mask(words, W: int, H: int) -> jax.Array:
-    """(nw,) uint32 -> (W, H) bool."""
+def unpack_flat(words, M: int) -> jax.Array:
+    """(nw,) uint32 -> (M,) bool, flat x-major."""
     bits = ((words[:, None] >> jnp.arange(32, dtype=jnp.uint32)) & 1)
-    return bits.reshape(-1)[:W * H].reshape(W, H).astype(bool)
+    return bits.reshape(-1)[:M].astype(bool)
 
 
 def word_test(words, idx) -> jax.Array:
@@ -78,36 +78,35 @@ def select_from_words(params: EnvParams, words, xs, ys):
     """One place event (SPEC §4): first valid of the candidate draws, else
     the first free cell in row-major (y, then x) order. Returns (x, y, ok)."""
     W, H = params.width, params.height
+    M = W * H
     idx = xs * H + ys
     valid = word_test(words, idx)
     any_valid = valid.any()
     first = jnp.argmax(valid)
-    free = unpack_mask(words, W, H)
-    flat = free.T.reshape(-1)              # y-major fallback scan
-    any_free = flat.any()
-    fidx = jnp.argmax(flat)
-    fx = (fidx % W).astype(jnp.int32)
-    fy = (fidx // W).astype(jnp.int32)
+    # y-major fallback scan, done flat: rank cells by y*W+x and take the
+    # free cell with the smallest rank (argmin returns its flat index m)
+    bits = unpack_flat(words, M)
+    ymajor_rank = (jnp.arange(M) % H) * W + jnp.arange(M) // H
+    any_free = bits.any()
+    m = jnp.argmin(jnp.where(bits, ymajor_rank, M + 1))
+    fx = (m // H).astype(jnp.int32)
+    fy = (m % H).astype(jnp.int32)
     x = jnp.where(any_valid, D.read_row(xs, first), fx)
     y = jnp.where(any_valid, D.read_row(ys, first), fy)
     return x, y, (any_valid | any_free)
 
 
-def free_mask(state: EnvState, extra_mask=None) -> jax.Array:
-    """(W, H) bool — cells that are empty and agent-free (SPEC §4 validity).
+def free_mask(params: EnvParams, state: EnvState) -> jax.Array:
+    """(W*H,) bool — cells that are empty and agent-free (SPEC §4 validity).
 
     Used by in-step respawn events; reset uses the incremental word chain.
     """
+    H = params.height
     m = state.grid_type == C.EMPTY
-    W, H = m.shape
-    px = state.agent_pos[:, 0][:, None, None]
-    py = state.agent_pos[:, 1][:, None, None]
-    occ = ((px == jnp.arange(W)[None, :, None])
-           & (py == jnp.arange(H)[None, None, :])).any(0)
-    m = m & ~occ
-    if extra_mask is not None:
-        m = m & extra_mask
-    return m
+    M = m.shape[-1]
+    flat_pos = state.agent_pos[:, 0] * H + state.agent_pos[:, 1]   # (N,)
+    occ = (flat_pos[:, None] == jnp.arange(M)[None, :]).any(0)
+    return m & ~occ
 
 
 def select_cell(params: EnvParams, free, xs, ys):
@@ -115,16 +114,17 @@ def select_cell(params: EnvParams, free, xs, ys):
     return select_from_words(params, pack_mask(free), xs, ys)
 
 
-def make_border(state: EnvState) -> EnvState:
-    """Wall border around the board (``MultiGrid.wall_rect``, SURVEY §2.1)."""
-    W, H = state.grid_type.shape
-    g = state.grid_type
+def bordered_layers(params: EnvParams):
+    """Fresh 2-D (W, H) board layers with the wall border
+    (``MultiGrid.wall_rect``, SURVEY §2.1). Reset builds the board in 2-D
+    and flattens into the state once at the end."""
+    W, H = params.width, params.height
+    g = jnp.zeros((W, H), jnp.int32)
     g = g.at[0, :].set(C.WALL).at[W - 1, :].set(C.WALL)
     g = g.at[:, 0].set(C.WALL).at[:, H - 1].set(C.WALL)
-    state.grid_type = g
-    state.grid_color = jnp.where(g == C.WALL, C.COLOR_TO_IDX["grey"],
-                                 state.grid_color)
-    return state
+    gc = jnp.where(g == C.WALL, C.COLOR_TO_IDX["grey"], 0)
+    gs = jnp.zeros((W, H), jnp.int32)
+    return g, gc, gs
 
 
 # --------------------------------------------------------------------------
@@ -135,33 +135,34 @@ def make_border(state: EnvState) -> EnvState:
 # traced; list structure is static.
 # --------------------------------------------------------------------------
 
-def gen_empty(params: EnvParams, state: EnvState, split_x, door_y):
+def gen_empty(params: EnvParams, layers, split_x, door_y):
     """EmptyMultiGrid (``marlgrid/envs/__init__.py — §EmptyMultiGrid`` [H])."""
-    return state, [(C.GOAL, C.COLOR_TO_IDX["green"], 0, None)], None
+    return layers, [(C.GOAL, C.COLOR_TO_IDX["green"], 0, None)], None
 
 
-def gen_cluttered(params: EnvParams, state: EnvState, split_x, door_y):
+def gen_cluttered(params: EnvParams, layers, split_x, door_y):
     """ClutteredMultiGrid: n_clutter random walls + goal (SURVEY §2.1 [H])."""
     grey = C.COLOR_TO_IDX["grey"]
     events = [(C.WALL, grey, 0, None)] * params.n_clutter
     events.append((C.GOAL, C.COLOR_TO_IDX["green"], 0, None))
-    return state, events, None
+    return layers, events, None
 
 
-def gen_doorkey(params: EnvParams, state: EnvState, split_x, door_y):
+def gen_doorkey(params: EnvParams, layers, split_x, door_y):
     """DoorKey-style env (SURVEY §2.1 door/key env [M]; SPEC §6)."""
+    gt, gc, gs = layers
     W, H = params.width, params.height
     xs = jnp.arange(W)[:, None]
     ys = jnp.arange(H)[None, :]
     on_wall_col = (xs == split_x) & (ys >= 1) & (ys <= H - 2)
     grey = C.COLOR_TO_IDX["grey"]
     yellow = C.COLOR_TO_IDX["yellow"]
-    state.grid_type = jnp.where(on_wall_col, C.WALL, state.grid_type)
-    state.grid_color = jnp.where(on_wall_col, grey, state.grid_color)
+    gt = jnp.where(on_wall_col, C.WALL, gt)
+    gc = jnp.where(on_wall_col, grey, gc)
     on_door = (xs == split_x) & (ys == door_y)
-    state.grid_type = jnp.where(on_door, C.DOOR, state.grid_type)
-    state.grid_color = jnp.where(on_door, yellow, state.grid_color)
-    state.grid_state = jnp.where(on_door, C.DOOR_LOCKED, state.grid_state)
+    gt = jnp.where(on_door, C.DOOR, gt)
+    gc = jnp.where(on_door, yellow, gc)
+    gs = jnp.where(on_door, C.DOOR_LOCKED, gs)
     left = (xs < split_x) & jnp.ones((1, H), bool)
     right = (xs > split_x) & jnp.ones((1, H), bool)
     events = [
@@ -169,16 +170,16 @@ def gen_doorkey(params: EnvParams, state: EnvState, split_x, door_y):
         (C.KEY, yellow, 0, left),
         (C.GOAL, C.COLOR_TO_IDX["green"], 0, right),
     ]
-    return state, events, left
+    return (gt, gc, gs), events, left
 
 
-def gen_goal_cycle(params: EnvParams, state: EnvState, split_x, door_y):
+def gen_goal_cycle(params: EnvParams, layers, split_x, door_y):
     """ClutteredGoalCycleEnv: clutter + cyclic BonusTiles (SURVEY §2.1 [M])."""
     grey = C.COLOR_TO_IDX["grey"]
     pink = C.COLOR_TO_IDX["pink"]
     events = [(C.WALL, grey, 0, None)] * params.n_clutter
     events += [(C.BONUS, pink, b, None) for b in range(params.n_bonus_tiles)]
-    return state, events, None
+    return layers, events, None
 
 
 SCENARIOS: Dict[str, Callable] = {
@@ -210,18 +211,19 @@ def reset(params: EnvParams, key) -> EnvState:
         key, E, params.max_place_tries, x0, rw, y0, rh, W, H)
 
     state = zeros_state(params, k_state)
-    state = make_border(state)
-    state, events, agent_mask = SCENARIOS[params.scenario](params, state,
-                                                          split_x, door_y)
+    layers = bordered_layers(params)
+    layers, events, agent_mask = SCENARIOS[params.scenario](params, layers,
+                                                           split_x, door_y)
+    gt, gc, gs = layers
     assert len(events) == n_scenario_events(params)
 
-    words = pack_mask(state.grid_type == C.EMPTY)
+    words = pack_mask((gt == C.EMPTY).reshape(-1))
     placed = []  # (x, y, ok, type, color, obj_state) of painted objects
     for e, ev in enumerate(events):
         if ev is None:
             continue
         otype, ocolor, ostate, mask = ev
-        w = words if mask is None else words & pack_mask(mask)
+        w = words if mask is None else words & pack_mask(mask.reshape(-1))
         x, y, ok = select_from_words(params, w, xs[e], ys[e])
         words = jnp.where(ok, word_clear(words, x * H + y), words)
         placed.append((x, y, ok, otype, ocolor, ostate))
@@ -229,7 +231,8 @@ def reset(params: EnvParams, key) -> EnvState:
     base = len(events)
     for i in range(N):
         e = base + i
-        w = words if agent_mask is None else words & pack_mask(agent_mask)
+        w = words if agent_mask is None else \
+            words & pack_mask(agent_mask.reshape(-1))
         x, y, ok = select_from_words(params, w, xs[e], ys[e])
         # degenerate full-board fallback pins agents at (1, 1) (SPEC §4)
         x = jnp.where(ok, x, 1)
@@ -252,7 +255,11 @@ def reset(params: EnvParams, key) -> EnvState:
                 & pok[:, None, None])                   # (K, W, H)
         hit = cell.any(0)
         paint = lambda v: (cell * v[:, None, None]).sum(0)  # noqa: E731
-        state.grid_type = jnp.where(hit, paint(pt), state.grid_type)
-        state.grid_color = jnp.where(hit, paint(pc), state.grid_color)
-        state.grid_state = jnp.where(hit, paint(ps), state.grid_state)
+        gt = jnp.where(hit, paint(pt), gt)
+        gc = jnp.where(hit, paint(pc), gc)
+        gs = jnp.where(hit, paint(ps), gs)
+    # flatten into the state's TPU-friendly layout (see EnvState docstring)
+    state.grid_type = gt.reshape(-1)
+    state.grid_color = gc.reshape(-1)
+    state.grid_state = gs.reshape(-1)
     return state

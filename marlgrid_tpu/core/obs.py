@@ -2,13 +2,17 @@
 
 TPU-native replacement for the reference's observation path
 (``marlgrid/base.py — §gen_obs_grid/§gen_agent_obs``, SURVEY §3.4): the
-crop+rotate becomes one-hot window contractions over precomputed
-per-direction offset maps (MXU-shaped einsums — vmapped dynamic-index
-gathers serialize on TPU, see core/dense.py), the ``process_vis`` occlusion
-flood becomes an unrolled masked sweep (row-wise vector ops, exact minigrid
-propagation order), and the tile rasterization becomes a one-hot matmul
-against the sprite LUT (``render_tile``'s tile_cache, SURVEY §3.4 hot loop
-#3, turned into a one-time LUT + contraction).
+crop+rotate becomes ONE one-hot window contraction per env covering all
+agents (the agent axis folds into the contraction's M dimension — measured
+the only fast batched-dot shape on v5e; vmapped dynamic-index gathers and
+double-batched tiny dots both serialize), the ``process_vis`` occlusion
+flood becomes closed-form prefix-count reachability (bit-exact with the
+reference's sweep order), and the tile rasterization becomes a one-hot
+matmul against the sprite LUT (``render_tile``'s tile_cache, SURVEY §3.4 hot
+loop #3, turned into a one-time LUT + contraction).
+
+All functions here take the whole state and return all-agent results —
+per-agent slicing happens only at host boundaries.
 """
 from __future__ import annotations
 
@@ -25,6 +29,13 @@ from .state import EnvParams, EnvState
 NS = 3  # sprite-relevant states per type (door open/closed/locked)
 N_BASE_APPEAR = C.N_TYPES * C.N_COLORS * NS
 N_AGENT_APPEAR = 1 + C.N_COLORS * 4  # 0 = no agent overlay
+
+# Cell packing: one int carries (type, color, state) — one window extraction
+# instead of three. state < 2^15 (box packing tops out at 176), so packed
+# fits int32 comfortably and is float32-exact (< 2^24) when cast for the
+# contraction.
+_PACK_C = C.N_TYPES          # color multiplier
+_PACK_S = C.N_TYPES * 16     # state multiplier (color < 16)
 
 
 @functools.lru_cache(maxsize=None)
@@ -48,72 +59,67 @@ def rel_offsets(view_size: int, view_offset: int) -> np.ndarray:
     return out
 
 
-def view_world_coords(params: EnvParams, pos, d):
-    """(vs, vs, 2) world coords + (vs, vs) in-bounds mask for one agent."""
+def pack_grid(state: EnvState):
+    """Flat packed board, float32 for the window contraction."""
+    return (state.grid_type + _PACK_C * state.grid_color
+            + _PACK_S * state.grid_state).astype(jnp.float32)
+
+
+def all_view_world_coords(params: EnvParams, state: EnvState):
+    """(N, vs, vs, 2) world coords + (N, vs, vs) in-bounds, all agents."""
     offs = jnp.asarray(rel_offsets(params.view_size, params.view_offset))
-    od = D.onehot(d, 4)
-    w = pos[None, None, :] + (offs * od[:, None, None, None]).sum(0)
+    od = (state.agent_dir[:, None] == jnp.arange(4)).astype(jnp.int32)
+    # (N, 4) one-hot x (4, vs, vs, 2) -> (N, vs, vs, 2), gather-free
+    sel = jnp.einsum("nd,dije->nije", od, offs)
+    w = state.agent_pos[:, None, None, :] + sel
     inb = ((w[..., 0] >= 0) & (w[..., 0] < params.width)
            & (w[..., 1] >= 0) & (w[..., 1] < params.height))
     return w, inb
 
 
-# Cell packing: one int carries (type, color, state) — one window extraction
-# instead of three. state < 2^15 (box packing tops out at 176), so packed
-# fits int32 comfortably and is float32-exact (< 2^24) if ever cast.
-_PACK_C = C.N_TYPES          # color multiplier
-_PACK_S = C.N_TYPES * 16     # state multiplier (color < 16)
+def all_view_cells(params: EnvParams, state: EnvState, packed=None):
+    """Symbolic views for ALL agents: (N, vs, vs) type/color/state layers,
+    OOB read as wall (SPEC §7), plus the agent-overlay layers.
 
-
-def pack_grid(state: EnvState):
-    return (state.grid_type + _PACK_C * state.grid_color
-            + _PACK_S * state.grid_state)
-
-
-def view_cells(params: EnvParams, state: EnvState, i, padded=None):
-    """Symbolic view of agent ``i``: (type, color, state) each (vs, vs),
-    OOB read as wall (SPEC §7), plus the agent-overlay layer.
-
-    The window read is TWO one-hot contractions against the single packed
-    layer (``padded`` holds the packed board as float32, shared across
-    agents). Benchmarked alternatives on v5e: vmapped dynamic_slice of an
-    agent-centered superwindow serializes (batched-start slices lower to
-    gathers), and per-layer one-hot einsums tripled the contraction count.
+    One (N*vs*vs, W) x (W, H) contraction pair per env: folding agents into
+    M keeps the dot a single-batch GEMM — the one shape XLA compiles well
+    here (see module docstring).
     """
-    pos = D.read_row(state.agent_pos, i)
-    d = D.read_row(state.agent_dir, i)
-    if padded is None:
-        padded = pack_grid(state).astype(jnp.float32)
-    w, inb = view_world_coords(params, pos, d)
+    N, vs = params.n_agents, params.view_size
     W, H = params.width, params.height
-    ox = ((w[..., 0:1] == jnp.arange(W)) & inb[..., None]) \
-        .astype(jnp.float32)
-    oy = (jnp.clip(w[..., 1:2], 0, H - 1) == jnp.arange(H)) \
-        .astype(jnp.float32)
-    # Barriers pin the contraction as a standalone dot: without them XLA
-    # fuses it with the surrounding compare/select chain into a kLoop fusion
-    # that iterates serially over the env batch (~500x slower, measured).
-    ox, oy, padded = jax.lax.optimization_barrier((ox, oy, padded))
-    packed = D.select_window(padded, ox, oy).astype(jnp.int32)
-    packed = jax.lax.optimization_barrier(packed)
-    wall = C.WALL + _PACK_C * C.COLOR_TO_IDX["grey"]
-    packed = jnp.where(inb, packed, wall)
-    vt = packed % _PACK_C
-    vc = (packed // _PACK_C) % 16
-    vst = packed // _PACK_S
+    if packed is None:
+        packed = pack_grid(state)
+    w, inb = all_view_world_coords(params, state)
 
-    # Agents visible in the view (SPEC §7): lowest index wins; inactive agents
-    # are hidden when ghost_mode.
-    N = params.n_agents
+    ox = ((w[..., 0:1] == jnp.arange(W)) & inb[..., None]) \
+        .astype(jnp.float32).reshape(N * vs * vs, W)
+    oy = (jnp.clip(w[..., 1:2], 0, H - 1) == jnp.arange(H)) \
+        .astype(jnp.float32).reshape(N * vs * vs, H)
+    grid2 = packed.reshape(W, H)
+    tmp = jnp.einsum("kw,wh->kh", ox, grid2,
+                     preferred_element_type=jnp.float32)
+    vals = jnp.einsum("kh,kh->k", tmp, oy,
+                      preferred_element_type=jnp.float32)
+    packed_view = vals.astype(jnp.int32).reshape(N, vs, vs)
+    wall = C.WALL + _PACK_C * C.COLOR_TO_IDX["grey"]
+    packed_view = jnp.where(inb, packed_view, wall)
+    vt = packed_view % _PACK_C
+    vc = (packed_view // _PACK_C) % 16
+    vst = packed_view // _PACK_S
+
+    # Agents visible in the view (SPEC §7): lowest index wins; inactive
+    # agents are hidden when ghost_mode.
     shown = state.active if params.ghost_mode else jnp.ones((N,), bool)
     match = ((w[..., 0:1] == state.agent_pos[:, 0])
              & (w[..., 1:2] == state.agent_pos[:, 1])
-             & inb[..., None] & shown)                      # (vs, vs, N)
-    first = match & (jnp.cumsum(match, axis=-1) == 1)       # lowest index
+             & inb[..., None] & shown)                  # (N, vs, vs, N)
+    first = match & (jnp.cumsum(match, axis=-1) == 1)   # lowest index wins
     any_agent = match.any(-1)
     colors = jnp.asarray(params.agent_colors, jnp.int32)
     acolor = (first * colors).sum(-1)
-    reldir = (first * ((state.agent_dir - d + 3) % 4)).sum(-1)
+    reldir = (first * ((state.agent_dir[None, None, None, :]
+                        - state.agent_dir[:, None, None, None] + 3) % 4)
+              ).sum(-1)
     return vt, vc, vst, any_agent, acolor, reldir
 
 
@@ -126,45 +132,45 @@ def transparency(vt, vst):
 def process_vis(t, view_size: int, view_offset: int):
     """Occlusion mask — vectorized minigrid flood (SPEC §7, SURVEY §3.4 [H]).
 
-    ``t`` is the (vs, vs) transparency grid indexed [vi, vj]. Exact
-    propagation order of the reference's per-cell sweeps, re-expressed as
-    row-wise boolean recurrences (the per-row passes are linear in the row, so
-    in-sweep values are final when visited — see oracle's literal version).
-    The in-row sweeps are closed-form reachability: a left-pass reaches i
-    from k ≤ i iff every cell in t[k..i-1] is transparent, i.e. the prefix
-    opaque-counts agree — so each pass is one (vs, vs) compare + reduce
-    instead of an unrolled scalar recurrence (which was ~170 serial ops).
+    ``t`` is a (..., vs, vs) transparency grid indexed [..., vi, vj] (any
+    leading batch/agent dims). Exact propagation order of the reference's
+    per-cell sweeps: the in-row passes are closed-form reachability — a
+    left-pass reaches i from k <= i iff every cell in t[k..i-1] is
+    transparent, i.e. the prefix opaque-counts agree — so each pass is one
+    (vs, vs) compare + reduce instead of an unrolled scalar recurrence.
     """
     vs = view_size
     c, aj = vs // 2, vs - 1 - view_offset
-    mask = jnp.zeros((vs, vs), bool).at[c, aj].set(True)
+    lead = t.shape[:-2]
+    mask = jnp.zeros(lead + (vs, vs), bool).at[..., c, aj].set(True)
     ii = jnp.arange(vs)
     k_le_i = ii[:, None] <= ii[None, :]
     k_ge_i = ii[:, None] >= ii[None, :]
     for vj in range(vs - 1, -1, -1):
-        m = mask[:, vj]
-        trow = t[:, vj]
+        m = mask[..., :, vj]
+        trow = t[..., :, vj]
         opaque = (~trow).astype(jnp.int32)
-        cs = jnp.cumsum(opaque)            # opaque count in t[0..i]
+        cs = jnp.cumsum(opaque, axis=-1)   # opaque count in t[0..i]
         cs0 = cs - opaque                  # opaque count in t[0..i-1]
-        # left-to-right: rL[i] = OR_{k<=i} m[k] & (no opaque in t[k..i-1])
-        rL = (m[:, None] & (cs0[None, :] == cs0[:, None]) & k_le_i).any(0)
-        condL = (rL & trow).at[vs - 1].set(False)
-        upL = condL | jnp.roll(condL, 1).at[0].set(False)
-        # right-to-left from rL: rR[i] = OR_{k>=i} rL[k] & (none in t[i+1..k])
-        rR = (rL[:, None] & (cs[:, None] == cs[None, :]) & k_ge_i).any(0)
-        condR = (rR & trow).at[0].set(False)
-        upR = condR | jnp.roll(condR, -1).at[vs - 1].set(False)
-        mask = mask.at[:, vj].set(rR)
+        rL = (m[..., :, None] & (cs0[..., None, :] == cs0[..., :, None])
+              & k_le_i).any(-2)
+        condL = (rL & trow).at[..., vs - 1].set(False)
+        upL = condL | jnp.roll(condL, 1, axis=-1).at[..., 0].set(False)
+        rR = (rL[..., :, None] & (cs[..., :, None] == cs[..., None, :])
+              & k_ge_i).any(-2)
+        condR = (rR & trow).at[..., 0].set(False)
+        upR = condR | jnp.roll(condR, -1, axis=-1).at[..., vs - 1].set(False)
+        mask = mask.at[..., :, vj].set(rR)
         if vj > 0:
-            mask = mask.at[:, vj - 1].set(mask[:, vj - 1] | upL | upR)
+            mask = mask.at[..., :, vj - 1].set(
+                mask[..., :, vj - 1] | upL | upR)
     return mask
 
 
-def agent_obs_encode(params: EnvParams, state: EnvState, i, padded=None):
-    """'encode' observation style (SPEC §7): (vs, vs, 3) int32."""
-    vt, vc, vst, any_agent, acolor, reldir = view_cells(params, state, i,
-                                                        padded)
+def all_obs_encode(params: EnvParams, state: EnvState, packed=None):
+    """'encode' observation style (SPEC §7): (N, vs, vs, 3) int32."""
+    vt, vc, vst, any_agent, acolor, reldir = all_view_cells(params, state,
+                                                            packed)
     ot = jnp.where(any_agent, C.AGENT, vt)
     oc = jnp.where(any_agent, acolor, vc)
     os_ = jnp.where(any_agent, reldir, vst)
@@ -181,52 +187,56 @@ def base_appearance(vt, vc, vst):
     return (vt * C.N_COLORS + vc) * NS + s_vis
 
 
-def agent_obs_image(params: EnvParams, state: EnvState, i, base_lut,
-                    agent_lut, padded=None):
-    """'image' observation style (SPEC §7): uint8 (vs*T, vs*T, 3).
+def all_obs_image(params: EnvParams, state: EnvState, base_lut, agent_lut,
+                  packed=None):
+    """'image' observation style (SPEC §7): uint8 (N, vs*T, vs*T, 3).
 
     ``base_lut``: (N_BASE_APPEAR, T, T, 3) uint8; ``agent_lut``:
-    (N_AGENT_APPEAR, T, T, 4) uint8 (RGB + alpha). Built host-side by
+    (N_AGENT_APPEAR, T, T, 4) uint8 (RGB + alpha), built host-side by
     ``marlgrid_tpu.rendering``. The per-cell sprite select is a one-hot
-    matmul against the flattened LUT — MXU work, no gathers (SURVEY §3.4
-    "batched gather/index_select kernel" north star, realized as a
-    contraction).
+    matmul against the flattened LUT — a single GEMM per env with
+    M = N*vs*vs, shared constant RHS (SURVEY §3.4 "batched gather /
+    index_select kernel" north star, realized as a contraction).
     """
-    vs, T = params.view_size, params.view_tile_size
-    vt, vc, vst, any_agent, acolor, reldir = view_cells(params, state, i,
-                                                        padded)
+    N, vs, T = params.n_agents, params.view_size, params.view_tile_size
+    vt, vc, vst, any_agent, acolor, reldir = all_view_cells(params, state,
+                                                            packed)
     base_id = base_appearance(vt, vc, vst)
     agent_id = jnp.where(any_agent, 1 + acolor * 4 + reldir, 0)
 
-    def lut_select(lut, idx, n_rows):
+    def lut_select(lut, idx):
+        n_rows = lut.shape[0]
         flat = lut.reshape(n_rows, -1).astype(jnp.float32)
         oh = (idx.reshape(-1)[:, None] == jnp.arange(n_rows)) \
             .astype(jnp.float32)
         out = jnp.einsum("kn,nf->kf", oh, flat,
                          preferred_element_type=jnp.float32)
-        return out.reshape(vs, vs, T, T, lut.shape[-1])
+        return out.reshape(N, vs, vs, T, T, lut.shape[-1])
 
-    base = lut_select(base_lut, base_id, base_lut.shape[0])
-    over = lut_select(agent_lut, agent_id, agent_lut.shape[0])
+    base = lut_select(base_lut, base_id)
+    over = lut_select(agent_lut, agent_id)
     img = jnp.where(over[..., 3:] > 0, over[..., :3], base)
     if not params.see_through_walls:
         vis = process_vis(transparency(vt, vst), params.view_size,
                           params.view_offset)
-        img = img * vis[:, :, None, None, None]
+        img = img * vis[..., None, None, None]
     img = img.astype(jnp.uint8)
-    # (vi, vj, ty, tx, 3) -> rows are vj*T+ty, cols vi*T+tx
-    return img.transpose(1, 2, 0, 3, 4).reshape(vs * T, vs * T, 3)
+    # (N, vi, vj, ty, tx, 3) -> rows are vj*T+ty, cols vi*T+tx
+    return img.transpose(0, 2, 3, 1, 4, 5).reshape(N, vs * T, vs * T, 3)
 
 
 def all_agent_obs(params: EnvParams, state: EnvState, base_lut=None,
                   agent_lut=None):
-    """Stacked obs for all agents: (N, …) via vmap over the agent index."""
-    idx = jnp.arange(params.n_agents)
-    padded = pack_grid(state).astype(jnp.float32)  # shared across agents
+    """Stacked obs for all agents: (N, …)."""
     if params.observation_style == "encode":
-        return jax.vmap(
-            lambda i: agent_obs_encode(params, state, i, padded))(idx)
-    return jax.vmap(
-        lambda i: agent_obs_image(params, state, i, base_lut, agent_lut,
-                                  padded)
-    )(idx)
+        return all_obs_encode(params, state)
+    return all_obs_image(params, state, base_lut, agent_lut)
+
+
+# Back-compat per-agent entry points (host/render paths, oracle comparisons)
+def agent_obs_encode(params: EnvParams, state: EnvState, i):
+    return all_obs_encode(params, state)[i]
+
+
+def view_cells(params: EnvParams, state: EnvState, i, packed=None):
+    return tuple(a[i] for a in all_view_cells(params, state, packed))

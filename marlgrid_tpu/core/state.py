@@ -76,9 +76,16 @@ def default_agent_colors(n: int) -> Tuple[int, ...]:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class EnvState:
-    """One environment's full state as a pytree of arrays (SPEC §2–§3)."""
+    """One environment's full state as a pytree of arrays (SPEC §2–§3).
 
-    # board layers, shape (W, H), indexed [x, y]
+    Board layers are stored FLAT, shape (W*H,), cell (x, y) at index
+    ``x * H + y``. TPU rationale: a (B, W, H) batched layer tiles its minor
+    dim H (≈15) onto 128 lanes — 8.5x padded memory traffic on every access;
+    flat (B, W*H≈225) pads to 256 — 1.14x. Use ``grid2d()`` at host/render
+    boundaries.
+    """
+
+    # board layers, shape (W*H,), flat x-major (cell (x,y) -> x*H+y)
     grid_type: jax.Array
     grid_color: jax.Array
     grid_state: jax.Array
@@ -101,9 +108,9 @@ def zeros_state(params: EnvParams, key: jax.Array) -> EnvState:
     W, H, N = params.width, params.height, params.n_agents
     i32 = jnp.int32
     return EnvState(
-        grid_type=jnp.zeros((W, H), i32),
-        grid_color=jnp.zeros((W, H), i32),
-        grid_state=jnp.zeros((W, H), i32),
+        grid_type=jnp.zeros((W * H,), i32),
+        grid_color=jnp.zeros((W * H,), i32),
+        grid_state=jnp.zeros((W * H,), i32),
         agent_pos=jnp.zeros((N, 2), i32),
         agent_dir=jnp.zeros((N,), i32),
         carry_type=jnp.zeros((N,), i32),
@@ -126,11 +133,19 @@ def state_spec(params: EnvParams):
     return dummy
 
 
-def np_grid(state: EnvState) -> np.ndarray:
+def grid2d(state: EnvState, params: EnvParams):
+    """The three board layers reshaped to (W, H) (traced or numpy)."""
+    W, H = params.width, params.height
+    return (state.grid_type.reshape(W, H),
+            state.grid_color.reshape(W, H),
+            state.grid_state.reshape(W, H))
+
+
+def np_grid(state: EnvState, params: EnvParams = None) -> np.ndarray:
     """(W, H, 3) numpy symbolic encode — mirrors ``MultiGrid.encode()``
     (``marlgrid/base.py — §encode``, SURVEY §2.1)."""
-    return np.stack(
-        [np.asarray(state.grid_type), np.asarray(state.grid_color),
-         np.asarray(state.grid_state)],
-        axis=-1,
-    )
+    layers = [np.asarray(state.grid_type), np.asarray(state.grid_color),
+              np.asarray(state.grid_state)]
+    if params is not None:
+        layers = [a.reshape(params.width, params.height) for a in layers]
+    return np.stack(layers, axis=-1)

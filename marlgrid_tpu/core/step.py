@@ -24,14 +24,13 @@ from .state import EnvParams, EnvState
 _DIR_VEC = jnp.asarray(C.DIR_VEC)
 
 
-def _read_cell3(state: EnvState, x, y):
-    """(type, color, state) of one cell, gather-free."""
-    W, H = state.grid_type.shape
-    ox = D.onehot(x, W)
-    oy = D.onehot(y, H)
-    row = lambda layer: ((layer * ox[:, None]).sum(0) * oy).sum(0)  # noqa: E731
-    return (row(state.grid_type), row(state.grid_color),
-            row(state.grid_state))
+def _read_cell3(params: EnvParams, state: EnvState, x, y):
+    """(type, color, state) of one cell, gather-free, on the FLAT layers
+    (flat one-hots pad to ~256 lanes vs 8.5x padding for (W, H) forms)."""
+    sel = D.onehot(x * params.height + y, params.width * params.height)
+    return ((state.grid_type * sel).sum(-1),
+            (state.grid_color * sel).sum(-1),
+            (state.grid_state * sel).sum(-1))
 
 
 def _agent_micro_step(params: EnvParams, state: EnvState, rew, i, actions,
@@ -51,7 +50,7 @@ def _agent_micro_step(params: EnvParams, state: EnvState, rew, i, actions,
     # --- the forward cell (always in bounds: boards are wall-bordered) ------
     f = pos + (D.onehot(d, 4)[:, None] * _DIR_VEC).sum(0)
     fx, fy = f[0], f[1]
-    ft, fc, fs = _read_cell3(state, fx, fy)
+    ft, fc, fs = _read_cell3(params, state, fx, fy)
 
     others = jnp.arange(N) != i
     at_f = ((state.agent_pos[:, 0] == fx) & (state.agent_pos[:, 1] == fy)
@@ -96,7 +95,7 @@ def _agent_micro_step(params: EnvParams, state: EnvState, rew, i, actions,
     if params.respawn:
         # In-step respawn after reaching a goal: a place event per SPEC §4.
         rxs, rys, rdirs = respawn_draws
-        rx, ry, ok = select_cell(params, free_mask(state),
+        rx, ry, ok = select_cell(params, free_mask(params, state),
                                  D.read_row(rxs, i), D.read_row(rys, i))
         do = on_goal & ok
         state.agent_pos = D.write_row(
@@ -133,9 +132,10 @@ def _agent_micro_step(params: EnvParams, state: EnvState, rew, i, actions,
     cell_s = jnp.where(pick, 0, jnp.where(drop, cst,
                        jnp.where(door_tog, new_door,
                                  jnp.where(box_tog, 0, fs))))
-    state.grid_type = D.write_cell(state.grid_type, fx, fy, cell_t)
-    state.grid_color = D.write_cell(state.grid_color, fx, fy, cell_c)
-    state.grid_state = D.write_cell(state.grid_state, fx, fy, cell_s)
+    sel = jnp.arange(params.width * params.height) == fx * params.height + fy
+    state.grid_type = jnp.where(sel, cell_t, state.grid_type)
+    state.grid_color = jnp.where(sel, cell_c, state.grid_color)
+    state.grid_state = jnp.where(sel, cell_s, state.grid_state)
 
     state.carry_type = D.write_row(
         state.carry_type, i,

@@ -207,10 +207,10 @@ def agent_lut(tile_size: int) -> np.ndarray:
 
 def render_board(params, state, tile_size=16, highlight_mask=None):
     """(H*T, W*T, 3) uint8 top-down render of an EnvState (numpy)."""
-    gt = np.asarray(state.grid_type)
-    gc = np.asarray(state.grid_color)
-    gs = np.asarray(state.grid_state)
-    W, H = gt.shape
+    W, H = params.width, params.height
+    gt = np.asarray(state.grid_type).reshape(W, H)
+    gc = np.asarray(state.grid_color).reshape(W, H)
+    gs = np.asarray(state.grid_state).reshape(W, H)
     s_vis = np.where(gt == C.DOOR, np.clip(gs, 0, NS - 1), 0)
     base_id = (gt * C.N_COLORS + gc) * NS + s_vis
     tiles = base_lut(tile_size)[base_id]          # (W, H, T, T, 3)

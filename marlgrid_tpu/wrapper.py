@@ -38,22 +38,20 @@ def _compiled(params: EnvParams):
     step_fn = jax.jit(lambda s, a: step_mod.step(params, s, a))
     obs_fn = jax.jit(lambda s: obs_mod.all_agent_obs(params, s, *luts))
 
-    def _visible_world(s, i):
-        w, inb = obs_mod.view_world_coords(params, s.agent_pos[i],
-                                           s.agent_dir[i])
+    def _visible_world(s):
+        w, inb = obs_mod.all_view_world_coords(params, s)
         wx, wy = w[..., 0], w[..., 1]
         if params.see_through_walls:
             vis = jnp.ones_like(inb)
         else:
-            vt, _, vst, _, _, _ = obs_mod.view_cells(params, s, i)
+            vt, _, vst, _, _, _ = obs_mod.all_view_cells(params, s)
             vis = obs_mod.process_vis(obs_mod.transparency(vt, vst),
                                       params.view_size, params.view_offset)
         wx = jnp.clip(wx, 0, params.width - 1)
         wy = jnp.clip(wy, 0, params.height - 1)
         return wx, wy, inb & vis
 
-    vis_fn = jax.jit(lambda s: jax.vmap(lambda i: _visible_world(s, i))(
-        jnp.arange(params.n_agents)))
+    vis_fn = jax.jit(_visible_world)
     return reset_fn, step_fn, obs_fn, vis_fn
 
 
@@ -153,7 +151,7 @@ class MultiGridEnv:
 
     def encode(self) -> np.ndarray:
         """(W, H, 3) symbolic board encode (``MultiGrid.encode``)."""
-        return np_grid(self.state)
+        return np_grid(self.state, self.params)
 
     def agent_highlight_mask(self) -> np.ndarray:
         """(W, H) bool union of all agents' visible cells (for render)."""

@@ -10,7 +10,7 @@ import numpy as np
 
 from marlgrid_tpu.core import constants as C
 from marlgrid_tpu.core import step as step_mod
-from marlgrid_tpu.core.grid_gen import make_border
+from marlgrid_tpu.core.grid_gen import bordered_layers
 from marlgrid_tpu.core.state import EnvParams, default_agent_colors, \
     zeros_state
 
@@ -18,7 +18,9 @@ from marlgrid_tpu.core.state import EnvParams, default_agent_colors, \
 def mk_state(params, positions, dirs, active=None, seed=0):
     """Hand-built EnvState: bordered empty room + pinned agents."""
     s = zeros_state(params, jax.random.PRNGKey(seed))
-    s = make_border(s)
+    gt, gc, gs = bordered_layers(params)
+    s.grid_type, s.grid_color, s.grid_state = (
+        gt.reshape(-1), gc.reshape(-1), gs.reshape(-1))
     s.agent_pos = jnp.asarray(positions, jnp.int32)
     s.agent_dir = jnp.asarray(dirs, jnp.int32)
     s.active = jnp.asarray(active if active is not None

@@ -55,9 +55,10 @@ LADDER = [
 ]
 
 STATE_FIELDS = [
-    ("grid_type", lambda o: o.grid[..., 0]),
-    ("grid_color", lambda o: o.grid[..., 1]),
-    ("grid_state", lambda o: o.grid[..., 2]),
+    # engine stores board layers flat (see EnvState docstring)
+    ("grid_type", lambda o: o.grid[..., 0].reshape(-1)),
+    ("grid_color", lambda o: o.grid[..., 1].reshape(-1)),
+    ("grid_state", lambda o: o.grid[..., 2].reshape(-1)),
     ("agent_pos", lambda o: o.agent_pos),
     ("agent_dir", lambda o: o.agent_dir),
     ("active", lambda o: o.active),

@@ -33,7 +33,7 @@ def test_key_conservation():
     states, _, _ = rollout_states(
         params, jax.random.PRNGKey(3), 60,
         action_set=(C.LEFT, C.RIGHT, C.FORWARD, C.PICKUP, C.DROP))
-    n_grid_keys = (states.grid_type == C.KEY).sum(axis=(1, 2))
+    n_grid_keys = (states.grid_type == C.KEY).sum(axis=-1)
     n_carried = (states.carry_type == C.KEY).sum(axis=1)
     np.testing.assert_array_equal(n_grid_keys + n_carried,
                                   np.ones_like(n_grid_keys))
@@ -44,12 +44,14 @@ def test_locked_door_impassable_without_key():
     params = EnvParams(width=11, height=11, n_agents=2, scenario="doorkey",
                        max_steps=60, agent_colors=default_agent_colors(2))
     states, _, _ = rollout_states(params, jax.random.PRNGKey(5), 60)
-    door_mask = states.grid_type == C.DOOR  # (T, W, H)
+    W, H = params.width, params.height
+    door_mask = states.grid_type.reshape(-1, W, H) == C.DOOR  # (T, W, H)
+    grid_state = states.grid_state.reshape(-1, W, H)
     T = door_mask.shape[0]
     for t in range(T):
         xs, ys = np.nonzero(door_mask[t])
         for x, y in zip(xs, ys):
-            if states.grid_state[t, x, y] != C.DOOR_OPEN:
+            if grid_state[t, x, y] != C.DOOR_OPEN:
                 for i in range(params.n_agents):
                     assert tuple(states.agent_pos[t, i]) != (x, y), \
                         f"agent {i} on unopened door @t={t}"
@@ -103,7 +105,7 @@ def test_respawn_keeps_agents_active():
     states, rews, _ = rollout_states(params, jax.random.PRNGKey(11), 50)
     assert states.active.all(), "respawn must never deactivate agents"
     # goal is still on the grid at every step
-    assert ((states.grid_type == C.GOAL).sum(axis=(1, 2)) == 1).all()
+    assert ((states.grid_type == C.GOAL).sum(axis=-1) == 1).all()
 
 
 def test_reset_determinism_and_seed_sensitivity():
