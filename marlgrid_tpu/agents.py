@@ -54,6 +54,20 @@ class GridAgentInterface:
         self.active = False
 
     @property
+    def front_pos(self):
+        """Cell directly ahead (``GridAgentInterface.front_pos``)."""
+        if self.pos is None or self.dir is None:
+            return None
+        dx, dy = C.DIR_VEC[self.dir]
+        return (self.pos[0] + int(dx), self.pos[1] + int(dy))
+
+    def activate(self):
+        self.active = True
+
+    def deactivate(self):
+        self.active = False
+
+    @property
     def action_space(self):
         return spaces.Discrete(C.N_ACTIONS)
 

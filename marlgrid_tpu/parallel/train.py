@@ -44,6 +44,9 @@ def parse_args(argv=None):
                    help="call jax.distributed.initialize() first (pods)")
     p.add_argument("--profile-dir", default=None,
                    help="jax.profiler trace output dir (SURVEY §5 tracing)")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="jax_debug_nans: fail fast on NaN (SURVEY §5 "
+                        "sanitizer row)")
     return p.parse_args(argv)
 
 
@@ -51,6 +54,8 @@ def main(argv=None):
     args = parse_args(argv)
     if args.distributed:
         jax.distributed.initialize()
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     ep = EnvParams(
         width=args.grid_size, height=args.grid_size, n_agents=args.agents,
@@ -66,14 +71,21 @@ def main(argv=None):
     net, params, tx, opt_state = ppo.init_state(ep, cfg, key)
     env_state = ppo.init_env_batch(ep, cfg.n_envs,
                                    jax.random.fold_in(key, 1), mesh)
+    key = jax.random.fold_in(key, 2)
     if args.resume:
-        restored = ckpt_mod.restore(args.resume,
-                                    dict(params=params, opt_state=opt_state))
+        try:
+            restored = ckpt_mod.restore(
+                args.resume, dict(params=params, opt_state=opt_state,
+                                  env_state=env_state, key=key))
+            env_state = restored["env_state"]
+            key = restored["key"]
+        except Exception:  # older checkpoints: params/opt only
+            restored = ckpt_mod.restore(
+                args.resume, dict(params=params, opt_state=opt_state))
         params, opt_state = restored["params"], restored["opt_state"]
 
     step = ppo.make_train_step(ep, cfg, net, tx, mesh=mesh)
     log = MetricsLogger(args.metrics)
-    key = jax.random.fold_in(key, 2)
 
     env_steps_per_iter = cfg.n_envs * cfg.rollout_len
     t0 = time.time()
@@ -92,9 +104,13 @@ def main(argv=None):
             jax.profiler.stop_trace()
         if (args.checkpoint_dir and args.checkpoint_every
                 and (it + 1) % args.checkpoint_every == 0):
+            # env_state + key included: exact-resume of the whole system
+            # (SURVEY §5 checkpoint row; envs are just arrays)
             ckpt_mod.save(args.checkpoint_dir,
                           dict(params=jax.device_get(params),
-                               opt_state=jax.device_get(opt_state)),
+                               opt_state=jax.device_get(opt_state),
+                               env_state=jax.device_get(env_state),
+                               key=jax.device_get(key)),
                           step=it + 1)
     log.close()
     return params

@@ -200,6 +200,32 @@ def agent_lut(tile_size: int) -> np.ndarray:
     return out
 
 
+class SimpleImageViewer:
+    """Minimal ``render(mode='human')`` window (``marlgrid/rendering.py`` —
+    §viewer [M]). TPU hosts are headless; this uses PIL's ``show`` when a
+    display exists and otherwise saves frames under /tmp."""
+
+    def __init__(self, caption="marlgrid-tpu"):
+        self.caption = caption
+        self._n = 0
+
+    def imshow(self, img):
+        import os
+        from PIL import Image
+
+        im = Image.fromarray(np.asarray(img))
+        if os.environ.get("DISPLAY"):
+            im.show(title=self.caption)
+        else:
+            path = f"/tmp/{self.caption}-{self._n:04d}.png"
+            im.save(path)
+            self._n += 1
+            return path
+
+    def close(self):
+        pass
+
+
 # --------------------------------------------------------------------------
 # Full-board render (``MultiGridEnv.render`` / ``MultiGrid.render``,
 # SURVEY §3.5) — host-side numpy; off the hot path.

@@ -149,6 +149,14 @@ class MultiGridEnv:
             a.active = bool(act[i])
             a.carrying = int(carry[i])
 
+    def gen_agent_obs(self, agent):
+        """One agent's current observation (``MultiGridEnv.gen_agent_obs``).
+
+        ``agent`` is an index or one of ``self.agents``.
+        """
+        i = agent if isinstance(agent, int) else self.agents.index(agent)
+        return self._host_obs()[i]
+
     def encode(self) -> np.ndarray:
         """(W, H, 3) symbolic board encode (``MultiGrid.encode``)."""
         return np_grid(self.state, self.params)
@@ -162,12 +170,31 @@ class MultiGridEnv:
         return mask
 
     def render(self, mode="rgb_array", tile_size=16, highlight=True,
-               **_):
+               show_agent_views=False, **_):
         """Full-board render (SURVEY §3.5). 'human' mode falls back to
-        rgb_array when no display backend is available (headless TPU hosts)."""
+        rgb_array when no display backend is available (headless TPU hosts).
+        ``show_agent_views`` composites each agent's POV strip on the right
+        (``marlgrid/base.py — §render`` [M])."""
         hm = self.agent_highlight_mask() if highlight else None
         img = rendering.render_board(self.params, self.state, tile_size,
                                      highlight_mask=hm)
+        if show_agent_views:
+            import jax.numpy as jnp
+
+            p = self.params
+            bl = jnp.asarray(rendering.base_lut(tile_size))
+            al = jnp.asarray(rendering.agent_lut(tile_size))
+            povs = np.asarray(obs_mod.all_obs_image(p, self.state, bl, al))
+            side = povs.shape[1]
+            pad = 2
+            strip = np.zeros((img.shape[0],
+                              side + 2 * pad, 3), np.uint8)
+            for i in range(p.n_agents):
+                y0 = i * (side + pad)
+                if y0 + side > strip.shape[0]:
+                    break
+                strip[y0:y0 + side, pad:pad + side] = povs[i]
+            img = np.concatenate([img, strip], axis=1)
         return img
 
 
