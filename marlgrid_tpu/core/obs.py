@@ -240,3 +240,233 @@ def agent_obs_encode(params: EnvParams, state: EnvState, i):
 
 def view_cells(params: EnvParams, state: EnvState, i, packed=None):
     return tuple(a[i] for a in all_view_cells(params, state, packed))
+
+
+# ---------------------------------------------------------------------------
+# Explicitly-batched path, batch-minor layout.
+#
+# Under vmap, every per-env intermediate above becomes (B, N, vs, vs[, N])
+# with a tiny minor dim: XLA:TPU tiles the last two dims onto (8 sublanes,
+# 128 lanes), so vs=7 pads 18x and N=3 pads 42x — profiling showed the
+# occlusion flood + agent overlay at ~1 ms/step from padding alone. The
+# functions below take a state whose leaves carry a leading batch dim B and
+# keep every hot intermediate in (vs, vs, N, B) layout — batch rides the
+# lanes at full width, the 7x7 view lives in the sublane/loop dims. The
+# window extraction keeps the §all_view_cells einsum-pair formulation
+# (measured 28 us/step standalone vs 25 ms for a TPU gather).
+# ---------------------------------------------------------------------------
+
+
+def view_coords_bminor(params: EnvParams, bstate: EnvState):
+    """(N, vs, vs, B) world x, world y, in-bounds — batch-minor.
+
+    Axis order matters: the LAST TWO dims map to (sublane, lane) tiles, so
+    (…, vs, B) pads 7→8 only; putting N or vs=7 minor pads 42x/18x.
+    """
+    vs = params.view_size
+    offs = rel_offsets(vs, params.view_offset)     # (4, vs, vs, 2) static np
+    px = bstate.agent_pos[..., 0].T[:, None, None, :]  # (N, 1, 1, B)
+    py = bstate.agent_pos[..., 1].T[:, None, None, :]
+    dT = bstate.agent_dir.T[:, None, None, :]
+    wx = jnp.zeros((1, vs, vs, 1), jnp.int32)
+    wy = jnp.zeros((1, vs, vs, 1), jnp.int32)
+    for d in range(4):
+        sel = (dT == d).astype(jnp.int32)          # (N, 1, 1, B)
+        wx = wx + jnp.asarray(offs[d, :, :, 0])[None, :, :, None] * sel
+        wy = wy + jnp.asarray(offs[d, :, :, 1])[None, :, :, None] * sel
+    wx = wx + px
+    wy = wy + py
+    inb = ((wx >= 0) & (wx < params.width)
+           & (wy >= 0) & (wy < params.height))
+    return wx, wy, inb
+
+
+def extract_views_b(params: EnvParams, bstate: EnvState, wx, wy, inb):
+    """Packed view values for all envs/agents: (N, vs, vs, B) int32.
+
+    One batched einsum pair per call (B-major operands — the one dense
+    formulation XLA compiles to full-rate fused reduce on v5e); OOB cells
+    read as grey wall (SPEC §7). The layout swap to batch-minor goes
+    through the Pallas transpose kernel (ops/transpose.py) — letting XLA
+    fuse it into the reduction emits strided writes ~10x slower.
+    """
+    N, vs = params.n_agents, params.view_size
+    W, H = params.width, params.height
+    B = bstate.grid_type.shape[0]
+    K = N * vs * vs
+    # B-major coords recomputed straight from the agent block (NOT a
+    # transpose of the B-minor ones: a fused transpose feeding the einsum
+    # makes the contraction read strided and costs ~10x — measured).
+    offs = rel_offsets(vs, params.view_offset).reshape(4, vs * vs, 2)
+    doh = (bstate.agent_dir[..., None] == jnp.arange(4))  # (B, N, 4)
+    offx = jnp.einsum("bnd,dk->bnk", doh.astype(jnp.int32),
+                      jnp.asarray(offs[..., 0]))
+    offy = jnp.einsum("bnd,dk->bnk", doh.astype(jnp.int32),
+                      jnp.asarray(offs[..., 1]))
+    wxB = (bstate.agent_pos[..., 0:1] + offx).reshape(B, K)
+    wyB = (bstate.agent_pos[..., 1:2] + offy).reshape(B, K)
+    inbB = ((wxB >= 0) & (wxB < W) & (wyB >= 0) & (wyB < H))
+    ox = ((wxB[..., None] == jnp.arange(W)) & inbB[..., None]) \
+        .astype(jnp.float32)
+    oy = (jnp.clip(wyB[..., None], 0, H - 1) == jnp.arange(H)) \
+        .astype(jnp.float32)
+    g2 = pack_grid(bstate).reshape(B, W, H)
+    tmp = jnp.einsum("bkw,bwh->bkh", ox, g2,
+                     preferred_element_type=jnp.float32)
+    vals = jnp.einsum("bkh,bkh->bk", tmp, oy,
+                      preferred_element_type=jnp.float32)
+    from .. import ops
+    pv = ops.transpose_bk(vals.astype(jnp.int32)).reshape(N, vs, vs, B)
+    wall = C.WALL + _PACK_C * C.COLOR_TO_IDX["grey"]
+    return jnp.where(inb, pv, wall)
+
+
+def all_view_cells_b(params: EnvParams, bstate: EnvState):
+    """Batched §all_view_cells, all outputs (N, vs, vs, B) batch-minor."""
+    N = params.n_agents
+    wx, wy, inb = view_coords_bminor(params, bstate)
+    pv = extract_views_b(params, bstate, wx, wy, inb)
+    vt = pv % _PACK_C
+    vc = (pv // _PACK_C) % 16
+    vst = pv // _PACK_S
+
+    # Agent overlay: lowest index wins; inactive hidden when ghost_mode.
+    px = bstate.agent_pos[..., 0].T                # (N, B)
+    py = bstate.agent_pos[..., 1].T
+    dT = bstate.agent_dir.T
+    shown = bstate.active.T if params.ghost_mode \
+        else jnp.ones_like(bstate.active.T)
+    colors = jnp.asarray(params.agent_colors, jnp.int32)
+    any_agent = jnp.zeros(vt.shape, bool)
+    acolor = jnp.zeros(vt.shape, jnp.int32)
+    absdir = jnp.zeros(vt.shape, jnp.int32)
+    for j in range(N):                             # N <= 4: static unroll
+        m = (wx == px[j]) & (wy == py[j]) & inb & shown[j]
+        first = m & ~any_agent                     # lowest index wins
+        acolor = jnp.where(first, colors[j], acolor)
+        absdir = jnp.where(first, dT[j], absdir)
+        any_agent = any_agent | m
+    dobs = dT[:, None, None, :]                    # observer dir (N,1,1,B)
+    reldir = jnp.where(any_agent, (absdir - dobs + 3) % 4, 0)
+    acolor = jnp.where(any_agent, acolor, 0)
+    return vt, vc, vst, any_agent, acolor, reldir
+
+
+def transparency_b(vt, vst):
+    """see_behind per view cell — only walls and non-open doors block."""
+    return ~((vt == C.WALL) | ((vt == C.DOOR) & (vst != C.DOOR_OPEN)))
+
+
+def process_vis_b(t, view_size: int, view_offset: int):
+    """Batch-minor §process_vis: t is (N, vs, vs, B) indexed [., vi, vj, .].
+
+    Same closed-form per-column reachability as §process_vis, with the
+    mask built as a functional column list (no dynamic-update-slice on the
+    full mask) and the lane dim (B) minor throughout.
+
+    Run-membership closed forms: cs0/cs are monotone non-decreasing, so
+    "exists k<=i with m[k] and cs0[k]==cs0[i]" (same transparent run) is
+    prefix-max(cs0 where m else -1) == cs0, and the k>=i case is
+    suffix-min(cs where rL else BIG) == cs — O(vs) work per column
+    instead of the O(vs^2) pairwise broadcast.
+    """
+    vs = view_size
+    c, aj = vs // 2, vs - 1 - view_offset
+    N, B = t.shape[0], t.shape[3]
+    ii = jnp.arange(vs)
+    not_last = (ii != vs - 1)[None, :, None]       # (1, vs, 1)
+    not_first = (ii != 0)[None, :, None]
+    init_col = (ii == c)[None, :, None]
+
+    cols = [None] * vs
+    pending = jnp.zeros((N, vs, B), bool)
+    for vj in range(vs - 1, -1, -1):
+        m = pending | init_col if vj == aj else pending
+        trow = t[:, :, vj]                         # (N, vs, B)
+        opaque = (~trow).astype(jnp.int8)
+        cs = jnp.cumsum(opaque, axis=1)
+        cs0 = cs - opaque
+        q = jnp.where(m, cs0, jnp.int8(-1))
+        rL = jax.lax.cummax(q, axis=1) == cs0
+        condL = rL & trow & not_last
+        upL = condL | (jnp.roll(condL, 1, axis=1) & not_first)
+        r = jnp.where(rL, cs, jnp.int8(127))
+        rR = jax.lax.cummin(r, axis=1, reverse=True) == cs
+        condR = rR & trow & not_first
+        upR = condR | (jnp.roll(condR, -1, axis=1) & not_last)
+        cols[vj] = rR
+        pending = upL | upR
+    return jnp.stack(cols, axis=2)                 # (N, vs, vs, B)
+
+
+def all_obs_encode_b(params: EnvParams, bstate: EnvState, bminor=False):
+    """Batched 'encode' obs — bit-identical to ``vmap(all_obs_encode)``
+    (tested).
+
+    ``bminor=False``: (B, N, vs, vs, 3) int32, the reference-shaped API.
+    ``bminor=True``: (3, N, vs, vs, B) int32, the TPU-native layout (batch
+    on lanes) — skips the major<->minor output transpose; use on hot paths
+    whose consumer contracts over features anyway (bench, PPO torso).
+    """
+    vt, vc, vst, any_agent, acolor, reldir = all_view_cells_b(params, bstate)
+    ot = jnp.where(any_agent, C.AGENT, vt)
+    oc = jnp.where(any_agent, acolor, vc)
+    os_ = jnp.where(any_agent, reldir, vst)
+    if not params.see_through_walls:
+        vis = process_vis_b(transparency_b(vt, vst), params.view_size,
+                            params.view_offset)
+        ot, oc, os_ = (jnp.where(vis, a, 0) for a in (ot, oc, os_))
+    out = jnp.stack([ot, oc, os_], axis=0)         # (3, N, vs, vs, B)
+    if bminor:
+        return out
+    # (3, N, vs, vs, B) -> (B, N, vs, vs, 3): one 5D transpose (compat
+    # path only; hot paths pass bminor=True).
+    return out.transpose(4, 1, 2, 3, 0)
+
+
+def all_obs_image_b(params: EnvParams, bstate: EnvState, base_lut, agent_lut):
+    """Batched 'image' obs: (B, N, vs*T, vs*T, 3) uint8.
+
+    The sprite select folds batch into the GEMM M dim against the SHARED
+    LUT RHS — one (B*N*vs*vs, n_appear) x (n_appear, T*T*ch) matmul instead
+    of B vmapped 147-row ones (§all_obs_image).
+    """
+    N, vs, T = params.n_agents, params.view_size, params.view_tile_size
+    B = bstate.grid_type.shape[0]
+    vt, vc, vst, any_agent, acolor, reldir = all_view_cells_b(params, bstate)
+    base_id = base_appearance(vt, vc, vst)         # (N, vs, vs, B)
+    agent_id = jnp.where(any_agent, 1 + acolor * 4 + reldir, 0)
+    if not params.see_through_walls:
+        vis = process_vis_b(transparency_b(vt, vst), params.view_size,
+                            params.view_offset)
+        base_id = jnp.where(vis, base_id, N_BASE_APPEAR)   # extra black row
+        agent_id = jnp.where(vis, agent_id, 0)
+
+    def lut_select(lut, idx, pad_rows):
+        n_rows = lut.shape[0] + pad_rows
+        flat = lut.reshape(lut.shape[0], -1).astype(jnp.bfloat16)
+        if pad_rows:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((pad_rows, flat.shape[1]), flat.dtype)])
+        # idx (N, vs, vs, B) -> B-major rows (B*N*vs*vs,)
+        rows = idx.transpose(3, 0, 1, 2).reshape(-1)
+        oh = (rows[:, None] == jnp.arange(n_rows)).astype(jnp.bfloat16)
+        out = jnp.einsum("kn,nf->kf", oh, flat,
+                         preferred_element_type=jnp.float32)
+        return out.reshape(B, N, vs, vs, T, T, lut.shape[-1])
+
+    base = lut_select(base_lut, base_id, 1)        # LUT uint8 is bf16-exact
+    over = lut_select(agent_lut, agent_id, 0)
+    img = jnp.where(over[..., 3:] > 0, over[..., :3], base).astype(jnp.uint8)
+    # (B, N, vi, vj, ty, tx, 3) -> rows vj*T+ty, cols vi*T+tx
+    return img.transpose(0, 1, 3, 4, 2, 5, 6).reshape(
+        B, N, vs * T, vs * T, 3)
+
+
+def all_agent_obs_b(params: EnvParams, bstate: EnvState, base_lut=None,
+                    agent_lut=None, bminor=False):
+    """Batched obs for a batch-leading state: (B, N, …) — or the
+    batch-minor (3, N, vs, vs, B) layout for encode-style hot paths."""
+    if params.observation_style == "encode":
+        return all_obs_encode_b(params, bstate, bminor=bminor)
+    return all_obs_image_b(params, bstate, base_lut, agent_lut)

@@ -118,7 +118,7 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
     B, T, N = cfg.n_envs, cfg.rollout_len, env_params.n_agents
 
     def obs_of(state):
-        return jax.vmap(lambda s: obs_mod.all_agent_obs(env_params, s))(state)
+        return obs_mod.all_agent_obs_b(env_params, state)
 
     def constrain(tree):
         if mesh is None:

@@ -48,8 +48,7 @@ class VectorEnv:
             if sharding is not None:
                 keys = jax.lax.with_sharding_constraint(keys, sharding)
             state = jax.vmap(lambda k: grid_gen.reset(params, k))(keys)
-            obs = jax.vmap(
-                lambda s: obs_mod.all_agent_obs(params, s, *luts))(state)
+            obs = obs_mod.all_agent_obs_b(params, state, *luts)
             return state, obs
 
         def _step(state, actions):
@@ -60,8 +59,7 @@ class VectorEnv:
                 state, rew, done = jax.vmap(
                     lambda s, a: step_mod.step(params, s, a))(state, actions)
                 info = {}
-            obs = jax.vmap(
-                lambda s: obs_mod.all_agent_obs(params, s, *luts))(state)
+            obs = obs_mod.all_agent_obs_b(params, state, *luts)
             return state, obs, rew, done, info
 
         self.reset = jax.jit(_reset)
@@ -82,8 +80,7 @@ class VectorEnv:
         def body(carry, _):
             state, key = carry
             key, ak = jax.random.split(key)
-            obs = jax.vmap(lambda s: obs_mod.all_agent_obs(
-                self.params, s))(state)
+            obs = obs_mod.all_agent_obs_b(self.params, state)
             actions = policy_apply(None, obs, ak)
             state, obs2, rew, done, info = self.step(state, actions)
             return (state, key), dict(obs=obs, actions=actions, rew=rew,
