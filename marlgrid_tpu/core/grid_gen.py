@@ -259,7 +259,7 @@ def reset(params: EnvParams, key) -> EnvState:
         gc = jnp.where(hit, paint(pc), gc)
         gs = jnp.where(hit, paint(ps), gs)
     # flatten into the state's TPU-friendly layout (see EnvState docstring)
-    state.grid_type = gt.reshape(-1)
-    state.grid_color = gc.reshape(-1)
-    state.grid_state = gs.reshape(-1)
+    state.grid_type = gt.reshape(-1).astype(jnp.uint8)
+    state.grid_color = gc.reshape(-1).astype(jnp.uint8)
+    state.grid_state = gs.reshape(-1).astype(jnp.uint8)
     return state

@@ -61,8 +61,9 @@ def rel_offsets(view_size: int, view_offset: int) -> np.ndarray:
 
 def pack_grid(state: EnvState):
     """Flat packed board, float32 for the window contraction."""
-    return (state.grid_type + _PACK_C * state.grid_color
-            + _PACK_S * state.grid_state).astype(jnp.float32)
+    return (state.grid_type.astype(jnp.float32)
+            + _PACK_C * state.grid_color.astype(jnp.float32)
+            + _PACK_S * state.grid_state.astype(jnp.float32))
 
 
 def all_view_world_coords(params: EnvParams, state: EnvState):

@@ -85,7 +85,10 @@ class EnvState:
     boundaries.
     """
 
-    # board layers, shape (W*H,), flat x-major (cell (x,y) -> x*H+y)
+    # board layers, shape (W*H,) uint8, flat x-major (cell (x,y) -> x*H+y).
+    # uint8: all codes fit (type<11, color<9, state<=168) and the layers are
+    # the bulk of per-step HBM traffic (step where-chains, autoreset selects,
+    # obs packing) — 4x less than int32.
     grid_type: jax.Array
     grid_color: jax.Array
     grid_state: jax.Array
@@ -108,9 +111,9 @@ def zeros_state(params: EnvParams, key: jax.Array) -> EnvState:
     W, H, N = params.width, params.height, params.n_agents
     i32 = jnp.int32
     return EnvState(
-        grid_type=jnp.zeros((W * H,), i32),
-        grid_color=jnp.zeros((W * H,), i32),
-        grid_state=jnp.zeros((W * H,), i32),
+        grid_type=jnp.zeros((W * H,), jnp.uint8),
+        grid_color=jnp.zeros((W * H,), jnp.uint8),
+        grid_state=jnp.zeros((W * H,), jnp.uint8),
         agent_pos=jnp.zeros((N, 2), i32),
         agent_dir=jnp.zeros((N,), i32),
         carry_type=jnp.zeros((N,), i32),

@@ -133,9 +133,12 @@ def _agent_micro_step(params: EnvParams, state: EnvState, rew, i, actions,
                        jnp.where(door_tog, new_door,
                                  jnp.where(box_tog, 0, fs))))
     sel = jnp.arange(params.width * params.height) == fx * params.height + fy
-    state.grid_type = jnp.where(sel, cell_t, state.grid_type)
-    state.grid_color = jnp.where(sel, cell_c, state.grid_color)
-    state.grid_state = jnp.where(sel, cell_s, state.grid_state)
+    state.grid_type = jnp.where(sel, cell_t.astype(jnp.uint8),
+                                state.grid_type)
+    state.grid_color = jnp.where(sel, cell_c.astype(jnp.uint8),
+                                 state.grid_color)
+    state.grid_state = jnp.where(sel, cell_s.astype(jnp.uint8),
+                                 state.grid_state)
 
     state.carry_type = D.write_row(
         state.carry_type, i,

@@ -1,0 +1,99 @@
+"""Policy/value model families for the TPU learner stack.
+
+The reference ships no model code (training lived in the author's external
+repo, SURVEY §2.1 — ``IndependentLearners`` is just a zip wrapper); these are
+the TPU-native learners this framework provides on top: parameter-shared
+nets whose matmuls run bfloat16 on the MXU.
+
+TPU notes measured on v5e (B=4096, 4 agents, 7x7 'encode' obs):
+- ``nn.Embed`` lookups are TPU gathers — they serialize; symbolic codes are
+  lifted with ONE-HOT features instead (the first Dense/Conv absorbs the
+  embedding linearly, same function class, zero gathers).
+- 3x3 convs on a 7x7 board leave the MXU idle (tiny spatial, tiny channel
+  minor dims); the default torso is an MLP over the flattened one-hot
+  planes — one large (M, 1960) x (1960, H) GEMM per call. The CNN torso is
+  kept as an option (``PPOConfig.torso='cnn'``).
+"""
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..core import constants as C
+
+N_STATE_CODES = 20  # door states + bonus phases; box contents clip here
+
+
+def onehot_features(obs, dtype):
+    """(…, vs, vs, 3) int codes -> (…, vs, vs, 41) one-hot planes."""
+    t = (obs[..., 0:1] == jnp.arange(C.N_TYPES + 1)).astype(dtype)
+    c = (obs[..., 1:2] == jnp.arange(C.N_COLORS + 1)).astype(dtype)
+    s = (jnp.clip(obs[..., 2:3], 0, N_STATE_CODES - 1)
+         == jnp.arange(N_STATE_CODES)).astype(dtype)
+    return jnp.concatenate([t, c, s], axis=-1)
+
+
+class OneHotEmbed(nn.Module):
+    """First layer: per-cell symbolic codes -> hidden, zero gathers.
+
+    Equivalent to flatten(one-hot planes) @ W, but expressed as three
+    multi-dim-contraction ``dot_general``s so no concatenated one-hot
+    tensor is materialized and no flatten relayout happens (profiled: the
+    concat+reshape relayouts dominated the update step on v5e).
+    """
+
+    features: int
+    dtype: "object" = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, obs):  # (..., vs, vs, 3) int
+        lead = obs.shape[:-3]
+        cells = obs.shape[-3] * obs.shape[-2]
+        o = obs.reshape(lead + (cells, 3))
+        nb = len(lead)
+        dn = (((nb, nb + 1), (0, 1)), ((), ()))
+        out = None
+        widths = (C.N_TYPES + 1, C.N_COLORS + 1, N_STATE_CODES)
+        for i, n in enumerate(widths):
+            code = o[..., i]
+            if i == 2:
+                code = jnp.clip(code, 0, N_STATE_CODES - 1)
+            oh = (code[..., None] == jnp.arange(n)).astype(self.dtype)
+            w = self.param(f"w{i}", nn.initializers.lecun_normal(),
+                           (cells * n, self.features)).reshape(
+                               cells, n, self.features)
+            y = jax.lax.dot_general(oh, w.astype(self.dtype), dn,
+                                    preferred_element_type=self.dtype)
+            out = y if out is None else out + y
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return out + b.astype(self.dtype)
+
+
+class ActorCritic(nn.Module):
+    """Torso on symbolic 'encode' observations + policy/value heads.
+
+    Activations are bfloat16 (params float32) so matmuls hit the MXU at
+    full rate; heads are cast back to float32 for numerics.
+    """
+
+    cfg: "object"  # PPOConfig-like: hidden/channels/dtype/torso fields
+
+    @nn.compact
+    def __call__(self, obs):  # obs: (..., vs, vs, 3) int32
+        cfg = self.cfg
+        if getattr(cfg, "torso", "mlp") == "cnn":
+            x = onehot_features(obs, cfg.dtype)
+            for ch in cfg.channels:
+                x = nn.Conv(ch, (3, 3), dtype=cfg.dtype)(x)
+                x = nn.relu(x)
+            x = x.reshape(*x.shape[:-3], -1)
+        else:
+            x = nn.relu(OneHotEmbed(cfg.hidden, cfg.dtype,
+                                    name="torso0")(obs))
+        x = nn.relu(nn.Dense(cfg.hidden, dtype=cfg.dtype, name="torso")(x))
+        # 'model'-axis tensor parallelism: GSPMD shards this dense pair when
+        # the caller constrains params/activations over the mesh.
+        logits = nn.Dense(C.N_ACTIONS, dtype=jnp.float32, name="pi")(
+            x.astype(jnp.float32))
+        value = nn.Dense(1, dtype=jnp.float32, name="v")(
+            x.astype(jnp.float32))
+        return logits, value[..., 0]

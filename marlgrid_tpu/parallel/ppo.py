@@ -11,18 +11,16 @@ the loop (BASELINE.json north star). Parameter-shared policy across agents
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
-import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import PartitionSpec as P
 
-from ..core import constants as C
 from ..core import grid_gen, obs as obs_mod, step as step_mod
 from ..core.state import EnvParams
+from ..models import ActorCritic
 
 
 @dataclasses.dataclass(frozen=True)
@@ -40,40 +38,8 @@ class PPOConfig:
     max_grad_norm: float = 0.5
     hidden: int = 128
     channels: Tuple[int, ...] = (32, 64)
+    torso: str = "mlp"  # 'mlp' (one big MXU GEMM) | 'cnn'
     dtype: Any = jnp.bfloat16  # MXU-friendly compute dtype
-
-
-class ActorCritic(nn.Module):
-    """CNN torso on symbolic 'encode' observations + policy/value heads.
-
-    The (vs, vs, 3) int obs is embedded channelwise (type/color/state each get
-    a small learned embedding), then conv → dense. Activations are bfloat16
-    (params float32) so matmuls/convs hit the MXU at full rate; heads are
-    cast back to float32 for numerics.
-    """
-
-    cfg: PPOConfig
-
-    @nn.compact
-    def __call__(self, obs):  # obs: (..., vs, vs, 3) int32
-        cfg = self.cfg
-        emb_t = nn.Embed(C.N_TYPES + 1, 8, dtype=cfg.dtype)(obs[..., 0])
-        emb_c = nn.Embed(C.N_COLORS + 1, 4, dtype=cfg.dtype)(obs[..., 1])
-        emb_s = nn.Embed(20, 4, dtype=cfg.dtype)(
-            jnp.clip(obs[..., 2], 0, 19))
-        x = jnp.concatenate([emb_t, emb_c, emb_s], axis=-1)
-        for ch in cfg.channels:
-            x = nn.Conv(ch, (3, 3), dtype=cfg.dtype)(x)
-            x = nn.relu(x)
-        x = x.reshape(*x.shape[:-3], -1)
-        x = nn.relu(nn.Dense(cfg.hidden, dtype=cfg.dtype, name="torso")(x))
-        # 'model'-axis tensor parallelism: GSPMD shards this dense pair when
-        # the caller constrains params/activations over the mesh.
-        logits = nn.Dense(C.N_ACTIONS, dtype=jnp.float32, name="pi")(
-            x.astype(jnp.float32))
-        value = nn.Dense(1, dtype=jnp.float32, name="v")(
-            x.astype(jnp.float32))
-        return logits, value[..., 0]
 
 
 def init_state(env_params: EnvParams, cfg: PPOConfig, key):
@@ -141,7 +107,12 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
                 env_params, env_state, a)
             nobs = obs_of(env_state)
             env_state = constrain(env_state)
-            tr = dict(obs=obs, act=a, logp=logp_a, val=value, rew=rew,
+            # Trajectory obs are stored FLAT uint8 (codes <= 176): a
+            # (T, B, N, vs, vs, 3) int32 buffer tiles its two tiny minor
+            # dims onto (8, 128) and pads ~32x — 19.7 GB at B=4096/T=64,
+            # a measured HBM OOM. Flat (T, B*N, vs*vs*3) uint8 is ~270 MB.
+            tr = dict(obs=obs.reshape(B * N, -1).astype(jnp.uint8),
+                      act=a, logp=logp_a, val=value, rew=rew,
                       done=done, ep_ret=info["episode_return"],
                       ep_len=info["episode_length"])
             return (env_state, nobs, key), tr
@@ -152,7 +123,9 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
         return env_state, key, traj, last_value
 
     def loss_fn(params, batch):
-        logits, value = net.apply(params, batch["obs"])
+        vs = env_params.view_size
+        obs = batch["obs"].astype(jnp.int32).reshape(-1, vs, vs, 3)
+        logits, value = net.apply(params, obs)
         logp = jax.nn.log_softmax(logits)
         logp_a = jnp.take_along_axis(logp, batch["act"][..., None],
                                      -1)[..., 0]
@@ -178,7 +151,7 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
         adv, ret = _gae(rew, val, done, last_value.reshape(B * N),
                         cfg.gamma, cfg.gae_lambda)
         flat = dict(
-            obs=traj["obs"].reshape(T * B * N, *traj["obs"].shape[3:]),
+            obs=traj["obs"].reshape(T * B * N, -1),
             act=traj["act"].reshape(T * B * N),
             logp=traj["logp"].reshape(T * B * N),
             val=val.reshape(T * B * N),

@@ -60,9 +60,32 @@ def hotspots(trace_dir: str, compiled_text: Optional[str] = None, top=20):
             srcof[m.group(1)] = (
                 m.group(3).split("/")[-1] + ":" + m.group(4)
                 if m.group(3) else m.group(2)[:60])
+        # Fusion kernels carry no metadata on their definition line; pull the
+        # source of the best-attributed op INSIDE each %fused_computation
+        # block and map the calling %fusion.N to it.
+        comp_src = {}
+        comp = None
+        for line in compiled_text.splitlines():
+            ms = re.match(r"\s*%?(fused_computation[\w\.\-]*)\s", line)
+            if ms and "{" in line:
+                comp = ms.group(1)
+            if comp:
+                mm = re.search(r'source_file="([^"]*)" source_line=(\d+)',
+                               line)
+                if mm and comp not in comp_src:
+                    comp_src[comp] = (mm.group(1).split("/")[-1] + ":"
+                                      + mm.group(2))
+                if line.strip() == "}":
+                    comp = None
+        for m in re.finditer(
+                r"%([\w\.\-]+) = [^\n]*? calls=%?(fused_computation"
+                r"[\w\.\-]*)", compiled_text):
+            if m.group(1) not in srcof and m.group(2) in comp_src:
+                srcof[m.group(1)] = comp_src[m.group(2)]
     agg = collections.Counter()
     for name, d in dur.items():
-        if name.startswith(("$", "jit_", "while", "PjitF")):
+        if name.startswith(("$", "jit_", "while", "PjitF")) \
+                or name in ("np.asarray(jax.Array)",):
             continue
         agg[srcof.get(name, name[:50])] += d
     return [(d / 1000.0, s) for s, d in agg.most_common(top)]
