@@ -122,7 +122,7 @@ def oracle_steps_per_sec(args, params):
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--envs", type=int, default=16384)
+    p.add_argument("--envs", type=int, default=32768)
     p.add_argument("--steps", type=int, default=64)
     p.add_argument("--reps", type=int, default=5)
     p.add_argument("--scenario", default="cluttered")

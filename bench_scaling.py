@@ -51,8 +51,7 @@ def build(args):
                 a = jax.random.randint(ak, (B, params.n_agents), 0, 7)
                 state, rew, done, _ = step_mod.step_autoreset_with_fresh(
                     params, state, a, fresh_t)
-                obs = jax.vmap(
-                    lambda s: obs_mod.all_agent_obs(params, s))(state)
+                obs = obs_mod.all_agent_obs_b(params, state, bminor=True)
                 acc = acc + rew.sum() + obs.sum(dtype=jnp.float32) / obs.size
                 return (state, key, acc), None
 
