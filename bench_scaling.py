@@ -86,7 +86,22 @@ def main(argv=None):
     p.add_argument("--batches", type=int, nargs="*",
                    default=[1024, 4096, 16384, 65536])
     p.add_argument("--per-device-envs", type=int, default=512)
+    p.add_argument("--force-cpu-devices", type=int, default=0,
+                   help="force JAX_PLATFORMS=cpu with N virtual devices "
+                        "(this host's sitecustomize overrides shell env; "
+                        "the flag applies the conftest trick in-process)")
     args = p.parse_args(argv)
+
+    if args.force_cpu_devices:
+        import os
+
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count="
+              f"{args.force_cpu_devices}")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import jax
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
