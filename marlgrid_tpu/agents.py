@@ -30,7 +30,8 @@ class GridAgentInterface:
                  view_offset=0, observation_style="image",
                  observe_rewards=False, observe_position=False,
                  observe_orientation=False, see_through_walls=False,
-                 prestige_beta=0.95, prestige_scale=2.0, spawn_delay=0):
+                 hide_item_types=(), prestige_beta=0.95, prestige_scale=2.0,
+                 spawn_delay=0):
         self.color = color
         self.color_idx = C.COLOR_TO_IDX[color]
         assert view_size % 2 == 1, "view_size must be odd"
@@ -42,6 +43,7 @@ class GridAgentInterface:
         self.observe_position = observe_position
         self.observe_orientation = observe_orientation
         self.see_through_walls = see_through_walls
+        self.hide_item_types = tuple(hide_item_types)
         # prestige/spawn_delay accepted for reference-kwarg compatibility;
         # not simulated (SPEC §10 deviations).
         self.prestige_beta = prestige_beta
@@ -128,7 +130,8 @@ def agents_to_params_fields(agents: List[GridAgentInterface]) -> dict:
     for a in agents[1:]:
         for f in ("view_size", "view_tile_size", "view_offset",
                   "observation_style", "observe_rewards", "observe_position",
-                  "observe_orientation", "see_through_walls"):
+                  "observe_orientation", "see_through_walls",
+                  "hide_item_types"):
             assert getattr(a, f) == getattr(a0, f), \
                 f"heterogeneous agent config not supported: {f}"
     return dict(
@@ -142,4 +145,7 @@ def agents_to_params_fields(agents: List[GridAgentInterface]) -> dict:
         observe_position=a0.observe_position,
         observe_orientation=a0.observe_orientation,
         see_through_walls=a0.see_through_walls,
+        hide_item_types=tuple(
+            C.TYPE_TO_IDX[t] if isinstance(t, str) else int(t)
+            for t in a0.hide_item_types),
     )

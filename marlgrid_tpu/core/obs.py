@@ -124,6 +124,18 @@ def all_view_cells(params: EnvParams, state: EnvState, packed=None):
     return vt, vc, vst, any_agent, acolor, reldir
 
 
+def apply_hidden(params: EnvParams, vt, vc, vst):
+    """Blank out hidden object types (visual-only; SPEC: occlusion still
+    honors the true cell, so callers compute transparency from the RAW
+    layers before applying this)."""
+    for t in params.hide_item_types:
+        h = vt == t
+        vt = jnp.where(h, C.EMPTY, vt)
+        vc = jnp.where(h, 0, vc)
+        vst = jnp.where(h, 0, vst)
+    return vt, vc, vst
+
+
 def transparency(vt, vst):
     """see_behind per view cell (walls & non-open doors block; SPEC §2)."""
     return (D.table_lookup(C.SEE_BEHIND_BASE, vt)
@@ -172,9 +184,10 @@ def all_obs_encode(params: EnvParams, state: EnvState, packed=None):
     """'encode' observation style (SPEC §7): (N, vs, vs, 3) int32."""
     vt, vc, vst, any_agent, acolor, reldir = all_view_cells(params, state,
                                                             packed)
-    ot = jnp.where(any_agent, C.AGENT, vt)
-    oc = jnp.where(any_agent, acolor, vc)
-    os_ = jnp.where(any_agent, reldir, vst)
+    hvt, hvc, hvst = apply_hidden(params, vt, vc, vst)
+    ot = jnp.where(any_agent, C.AGENT, hvt)
+    oc = jnp.where(any_agent, acolor, hvc)
+    os_ = jnp.where(any_agent, reldir, hvst)
     if not params.see_through_walls:
         vis = process_vis(transparency(vt, vst), params.view_size,
                           params.view_offset)
@@ -202,7 +215,7 @@ def all_obs_image(params: EnvParams, state: EnvState, base_lut, agent_lut,
     N, vs, T = params.n_agents, params.view_size, params.view_tile_size
     vt, vc, vst, any_agent, acolor, reldir = all_view_cells(params, state,
                                                             packed)
-    base_id = base_appearance(vt, vc, vst)
+    base_id = base_appearance(*apply_hidden(params, vt, vc, vst))
     agent_id = jnp.where(any_agent, 1 + acolor * 4 + reldir, 0)
 
     def lut_select(lut, idx):
@@ -410,9 +423,10 @@ def all_obs_encode_b(params: EnvParams, bstate: EnvState, bminor=False):
     whose consumer contracts over features anyway (bench, PPO torso).
     """
     vt, vc, vst, any_agent, acolor, reldir = all_view_cells_b(params, bstate)
-    ot = jnp.where(any_agent, C.AGENT, vt)
-    oc = jnp.where(any_agent, acolor, vc)
-    os_ = jnp.where(any_agent, reldir, vst)
+    hvt, hvc, hvst = apply_hidden(params, vt, vc, vst)
+    ot = jnp.where(any_agent, C.AGENT, hvt)
+    oc = jnp.where(any_agent, acolor, hvc)
+    os_ = jnp.where(any_agent, reldir, hvst)
     if not params.see_through_walls:
         vis = process_vis_b(transparency_b(vt, vst), params.view_size,
                             params.view_offset)
@@ -435,7 +449,7 @@ def all_obs_image_b(params: EnvParams, bstate: EnvState, base_lut, agent_lut):
     N, vs, T = params.n_agents, params.view_size, params.view_tile_size
     B = bstate.grid_type.shape[0]
     vt, vc, vst, any_agent, acolor, reldir = all_view_cells_b(params, bstate)
-    base_id = base_appearance(vt, vc, vst)         # (N, vs, vs, B)
+    base_id = base_appearance(*apply_hidden(params, vt, vc, vst))
     agent_id = jnp.where(any_agent, 1 + acolor * 4 + reldir, 0)
     if not params.see_through_walls:
         vis = process_vis_b(transparency_b(vt, vst), params.view_size,

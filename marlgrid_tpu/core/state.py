@@ -42,6 +42,9 @@ class EnvParams:
     observe_position: bool = False
     observe_orientation: bool = False
     see_through_walls: bool = False
+    # type indices hidden from observations (visual-only: occlusion still
+    # honors the true cell; ``GridAgentInterface(hide_item_types=…)`` [M])
+    hide_item_types: Tuple[int, ...] = ()
     # rewards (SPEC §5)
     goal_reward: float = 1.0
     lava_penalty: float = 0.0

@@ -131,8 +131,8 @@ def env_from_config(config: dict, randomize_seed: bool = False
         seed = random.SystemRandom().randrange(2 ** 31)
     agent_keys = ("view_size", "view_tile_size", "view_offset",
                   "observation_style", "observe_rewards", "observe_position",
-                  "observe_orientation", "see_through_walls", "prestige_beta",
-                  "prestige_scale", "spawn_delay")
+                  "observe_orientation", "see_through_walls", "hide_item_types",
+                  "prestige_beta", "prestige_scale", "spawn_delay")
     agent_kwargs = {k: config.pop(k) for k in list(config)
                     if k in agent_keys}
     from ..core.constants import COLOR_NAMES

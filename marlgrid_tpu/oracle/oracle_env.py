@@ -343,6 +343,8 @@ class OracleEnv:
         p = self.p
         cells, agent = self.view_grid(i)
         out = cells.copy()
+        for t in p.hide_item_types:           # visual-only (SPEC)
+            out[out[..., 0] == t] = 0
         d = int(self.agent_dir[i])
         for vi in range(p.view_size):
             for vj in range(p.view_size):
@@ -369,6 +371,8 @@ class OracleEnv:
                 if not vis[vi, vj]:
                     continue
                 t, c, s = (int(v) for v in cells[vi, vj])
+                if t in p.hide_item_types:    # visual-only (SPEC)
+                    t, c, s = 0, 0, 0
                 s_vis = min(s, 2) if t == C.DOOR else 0
                 tile = R.render_base_tile(t, c, s_vis, T)
                 j = agent[vi, vj]

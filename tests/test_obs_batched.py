@@ -74,3 +74,27 @@ def test_pallas_transpose_fallback_equals_xla():
     x = jax.random.randint(jax.random.PRNGKey(0), (64, 37), -5, 99, jnp.int32)
     np.testing.assert_array_equal(np.asarray(transpose_bk(x)),
                                   np.asarray(x).T)
+
+
+def test_hide_item_types_all_paths_agree():
+    """hide_item_types blanks hidden types visually in engine (both obs
+    paths) and oracle; occlusion still honors the true cell."""
+    from marlgrid_tpu.core import constants as C
+    from marlgrid_tpu.oracle import OracleEnv
+    p = _params("encode", scenario="doorkey", n_agents=2,
+                agent_colors=default_agent_colors(2),
+                hide_item_types=(C.KEY, C.DOOR))
+    st = _rollout_states(p, B=16, steps=4, seed=2)
+    ref = jax.jit(jax.vmap(lambda s: O.all_agent_obs(p, s)))(st)
+    got = jax.jit(lambda s: O.all_agent_obs_b(p, s))(st)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+    assert not (np.asarray(ref)[..., 0] == C.KEY).any()
+    assert not (np.asarray(ref)[..., 0] == C.DOOR).any()
+
+    # oracle agreement on a fresh env (same reset key -> same board)
+    oracle = OracleEnv(p)
+    o_obs = oracle.reset(jax.random.PRNGKey(7))
+    from marlgrid_tpu.core import grid_gen
+    st1 = grid_gen.reset(p, jax.random.PRNGKey(7))
+    e_obs = np.asarray(jax.jit(lambda s: O.all_agent_obs(p, s))(st1))
+    np.testing.assert_array_equal(np.stack(o_obs), e_obs)
