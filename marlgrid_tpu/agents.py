@@ -44,11 +44,12 @@ class GridAgentInterface:
         self.observe_orientation = observe_orientation
         self.see_through_walls = see_through_walls
         self.hide_item_types = tuple(hide_item_types)
-        # prestige/spawn_delay accepted for reference-kwarg compatibility;
-        # not simulated (SPEC §10 deviations).
+        # prestige display (sprite color dims with accumulated reward,
+        # SPEC §8) and delayed spawning (SPEC §5) — folded into EnvParams
         self.prestige_beta = prestige_beta
         self.prestige_scale = prestige_scale
         self.spawn_delay = spawn_delay
+        self.prestige = 0.0
         # episode bookkeeping mirrors (filled by the wrapper)
         self.pos = None
         self.dir = None
@@ -131,10 +132,13 @@ def agents_to_params_fields(agents: List[GridAgentInterface]) -> dict:
         for f in ("view_size", "view_tile_size", "view_offset",
                   "observation_style", "observe_rewards", "observe_position",
                   "observe_orientation", "see_through_walls",
-                  "hide_item_types"):
+                  "hide_item_types", "prestige_beta", "prestige_scale"):
             assert getattr(a, f) == getattr(a0, f), \
                 f"heterogeneous agent config not supported: {f}"
     return dict(
+        prestige_beta=a0.prestige_beta,
+        prestige_scale=a0.prestige_scale,
+        spawn_delays=tuple(int(a.spawn_delay) for a in agents),
         n_agents=len(agents),
         agent_colors=tuple(a.color_idx for a in agents),
         view_size=a0.view_size,

@@ -123,6 +123,47 @@ def _take(table, idx):
     return dense.table_lookup(table, idx)
 
 
+# --- text rendering (``marlgrid/objects.py — §str_render`` [M]; minigrid
+#     lineage 2-char cell codes: object letter + color letter) ---------------
+TYPE_TO_STR = {
+    EMPTY: " ", WALL: "W", FLOOR: "F", DOOR: "D", KEY: "K", BALL: "A",
+    BOX: "B", GOAL: "G", LAVA: "V", BONUS: "T",
+}
+AGENT_DIR_TO_STR = {0: ">", 1: "v", 2: "<", 3: "^"}
+
+
+def str_render(obj_type: int, color_idx: int, obj_state: int = 0) -> str:
+    """2-char text code of one cell (``WorldObj.str_render`` [M]).
+
+    Doors show their state instead of the color letter: ``D_`` open,
+    ``D=`` closed, ``DL`` locked.
+    """
+    t = int(obj_type)
+    if t == EMPTY:
+        return "  "
+    if t == DOOR:
+        return "D" + {DOOR_OPEN: "_", DOOR_CLOSED: "=", DOOR_LOCKED: "L"}[
+            int(obj_state)]
+    return TYPE_TO_STR.get(t, "?") + COLOR_NAMES[int(color_idx)][0].upper()
+
+
+# --- prestige display (SPEC §8; ``marlgrid/agents.py — §prestige_beta/
+#     §prestige_scale`` [M]: agent sprite color dims with accumulated reward).
+# The continuous prestige value maps to one of N_PRESTIGE_LEVELS discrete dim
+# factors (level = floor(prestige / prestige_scale), clipped) so the engine's
+# on-device render and the oracle's per-cell rasterizer agree bit-exactly.
+N_PRESTIGE_LEVELS = 8
+PRESTIGE_DIM = np.array(
+    [1.0, 0.85, 0.72, 0.61, 0.52, 0.44, 0.38, 0.32], dtype=np.float32)
+
+
+def prestige_dim_factor(prestige, scale):
+    """Dim factor for a host-side (numpy / python float) prestige value."""
+    lvl = min(int(np.float32(prestige) / np.float32(scale)),
+              N_PRESTIGE_LEVELS - 1)
+    return PRESTIGE_DIM[max(lvl, 0)]
+
+
 # Box contents packing (SPEC §2): state = contained_type * 16 + contained_color.
 BOX_PACK = 16
 

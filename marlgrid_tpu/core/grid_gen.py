@@ -240,7 +240,9 @@ def reset(params: EnvParams, key) -> EnvState:
         words = word_clear(words, x * H + y)
         state.agent_pos = state.agent_pos.at[i].set(jnp.stack([x, y]))
         state.agent_dir = state.agent_dir.at[i].set(dirs[e])
-        state.active = state.active.at[i].set(True)
+        # delayed agents (spawn_delay [L]) are placed but start inactive
+        state.active = state.active.at[i].set(
+            params.spawn_delay_tuple()[i] == 0)
 
     if placed:
         # one dense paint: all placed cells are distinct by construction

@@ -78,13 +78,26 @@ def all_view_world_coords(params: EnvParams, state: EnvState):
     return w, inb
 
 
-def all_view_cells(params: EnvParams, state: EnvState, packed=None):
+def prestige_dim(params: EnvParams, prestige):
+    """(…, N) float32 sprite dim factor per agent (SPEC §8): quantized
+    prestige level -> PRESTIGE_DIM table, gather-free."""
+    lvl = jnp.clip(jnp.floor(prestige / jnp.float32(params.prestige_scale))
+                   .astype(jnp.int32), 0, C.N_PRESTIGE_LEVELS - 1)
+    oh = (lvl[..., None] == jnp.arange(C.N_PRESTIGE_LEVELS))
+    return (oh * jnp.asarray(C.PRESTIGE_DIM)).sum(-1)
+
+
+def all_view_cells(params: EnvParams, state: EnvState, packed=None,
+                   with_dim=False):
     """Symbolic views for ALL agents: (N, vs, vs) type/color/state layers,
     OOB read as wall (SPEC §7), plus the agent-overlay layers.
 
     One (N*vs*vs, W) x (W, H) contraction pair per env: folding agents into
     M keeps the dot a single-batch GEMM — the one shape XLA compiles well
     here (see module docstring).
+
+    ``with_dim=True`` appends the per-cell prestige dim factor of the
+    observed agent (1.0 where no agent) — image paths only.
     """
     N, vs = params.n_agents, params.view_size
     W, H = params.width, params.height
@@ -121,7 +134,12 @@ def all_view_cells(params: EnvParams, state: EnvState, packed=None):
     reldir = (first * ((state.agent_dir[None, None, None, :]
                         - state.agent_dir[:, None, None, None] + 3) % 4)
               ).sum(-1)
-    return vt, vc, vst, any_agent, acolor, reldir
+    if not with_dim:
+        return vt, vc, vst, any_agent, acolor, reldir
+    adim = jnp.where(any_agent,
+                     (first * prestige_dim(params, state.prestige)).sum(-1),
+                     1.0)
+    return vt, vc, vst, any_agent, acolor, reldir, adim
 
 
 def apply_hidden(params: EnvParams, vt, vc, vst):
@@ -213,8 +231,8 @@ def all_obs_image(params: EnvParams, state: EnvState, base_lut, agent_lut,
     index_select kernel" north star, realized as a contraction).
     """
     N, vs, T = params.n_agents, params.view_size, params.view_tile_size
-    vt, vc, vst, any_agent, acolor, reldir = all_view_cells(params, state,
-                                                            packed)
+    vt, vc, vst, any_agent, acolor, reldir, adim = all_view_cells(
+        params, state, packed, with_dim=True)
     base_id = base_appearance(*apply_hidden(params, vt, vc, vst))
     agent_id = jnp.where(any_agent, 1 + acolor * 4 + reldir, 0)
 
@@ -229,7 +247,9 @@ def all_obs_image(params: EnvParams, state: EnvState, base_lut, agent_lut,
 
     base = lut_select(base_lut, base_id)
     over = lut_select(agent_lut, agent_id)
-    img = jnp.where(over[..., 3:] > 0, over[..., :3], base)
+    # prestige dimming (SPEC §8): scale the agent sprite RGB, truncate
+    img = jnp.where(over[..., 3:] > 0,
+                    over[..., :3] * adim[..., None, None, None], base)
     if not params.see_through_walls:
         vis = process_vis(transparency(vt, vst), params.view_size,
                           params.view_offset)
@@ -335,7 +355,7 @@ def extract_views_b(params: EnvParams, bstate: EnvState, wx, wy, inb):
     return jnp.where(inb, pv, wall)
 
 
-def all_view_cells_b(params: EnvParams, bstate: EnvState):
+def all_view_cells_b(params: EnvParams, bstate: EnvState, with_dim=False):
     """Batched §all_view_cells, all outputs (N, vs, vs, B) batch-minor."""
     N = params.n_agents
     wx, wy, inb = view_coords_bminor(params, bstate)
@@ -354,16 +374,23 @@ def all_view_cells_b(params: EnvParams, bstate: EnvState):
     any_agent = jnp.zeros(vt.shape, bool)
     acolor = jnp.zeros(vt.shape, jnp.int32)
     absdir = jnp.zeros(vt.shape, jnp.int32)
+    if with_dim:
+        dimT = prestige_dim(params, bstate.prestige).T   # (N, B)
+        adim = jnp.ones(vt.shape, jnp.float32)
     for j in range(N):                             # N <= 4: static unroll
         m = (wx == px[j]) & (wy == py[j]) & inb & shown[j]
         first = m & ~any_agent                     # lowest index wins
         acolor = jnp.where(first, colors[j], acolor)
         absdir = jnp.where(first, dT[j], absdir)
+        if with_dim:
+            adim = jnp.where(first, dimT[j], adim)
         any_agent = any_agent | m
     dobs = dT[:, None, None, :]                    # observer dir (N,1,1,B)
     reldir = jnp.where(any_agent, (absdir - dobs + 3) % 4, 0)
     acolor = jnp.where(any_agent, acolor, 0)
-    return vt, vc, vst, any_agent, acolor, reldir
+    if not with_dim:
+        return vt, vc, vst, any_agent, acolor, reldir
+    return vt, vc, vst, any_agent, acolor, reldir, adim
 
 
 def transparency_b(vt, vst):
@@ -448,7 +475,8 @@ def all_obs_image_b(params: EnvParams, bstate: EnvState, base_lut, agent_lut):
     """
     N, vs, T = params.n_agents, params.view_size, params.view_tile_size
     B = bstate.grid_type.shape[0]
-    vt, vc, vst, any_agent, acolor, reldir = all_view_cells_b(params, bstate)
+    vt, vc, vst, any_agent, acolor, reldir, adim = all_view_cells_b(
+        params, bstate, with_dim=True)
     base_id = base_appearance(*apply_hidden(params, vt, vc, vst))
     agent_id = jnp.where(any_agent, 1 + acolor * 4 + reldir, 0)
     if not params.see_through_walls:
@@ -472,7 +500,10 @@ def all_obs_image_b(params: EnvParams, bstate: EnvState, base_lut, agent_lut):
 
     base = lut_select(base_lut, base_id, 1)        # LUT uint8 is bf16-exact
     over = lut_select(agent_lut, agent_id, 0)
-    img = jnp.where(over[..., 3:] > 0, over[..., :3], base).astype(jnp.uint8)
+    # prestige dimming (SPEC §8): (N, vs, vs, B) -> (B, N, vs, vs) to align
+    adimB = adim.transpose(3, 0, 1, 2)[..., None, None, None]
+    img = jnp.where(over[..., 3:] > 0, over[..., :3] * adimB,
+                    base).astype(jnp.uint8)
     # (B, N, vi, vj, ty, tx, 3) -> rows vj*T+ty, cols vi*T+tx
     return img.transpose(0, 1, 3, 4, 2, 5, 6).reshape(
         B, N, vs * T, vs * T, 3)

@@ -45,6 +45,15 @@ class EnvParams:
     # type indices hidden from observations (visual-only: occlusion still
     # honors the true cell; ``GridAgentInterface(hide_item_types=…)`` [M])
     hide_item_types: Tuple[int, ...] = ()
+    # prestige display (``GridAgentInterface(prestige_beta/prestige_scale)``
+    # [M]): per-step multiplicative decay of the prestige accumulator and the
+    # scale mapping prestige to sprite dim levels (SPEC §8)
+    prestige_beta: float = 0.95
+    prestige_scale: float = 2.0
+    # per-agent spawn delays (``GridAgentInterface(spawn_delay)`` [L]):
+    # () means all agents spawn at reset; otherwise len == n_agents and agent
+    # i activates when step_count reaches spawn_delays[i] (SPEC §5)
+    spawn_delays: Tuple[int, ...] = ()
     # rewards (SPEC §5)
     goal_reward: float = 1.0
     lava_penalty: float = 0.0
@@ -65,6 +74,19 @@ class EnvParams:
             f"agent_colors {self.agent_colors} must have n_agents="
             f"{self.n_agents} entries"
         )
+        assert not self.spawn_delays or \
+            len(self.spawn_delays) == self.n_agents, (
+                f"spawn_delays {self.spawn_delays} must be empty or have "
+                f"n_agents={self.n_agents} entries"
+            )
+
+    def spawn_delay_tuple(self) -> Tuple[int, ...]:
+        """spawn_delays normalized to length n_agents (() -> all zero)."""
+        return self.spawn_delays or (0,) * self.n_agents
+
+    @property
+    def has_spawn_delays(self) -> bool:
+        return any(d > 0 for d in self.spawn_delays)
 
     def replace(self, **kw) -> "EnvParams":
         return dataclasses.replace(self, **kw)
@@ -103,6 +125,7 @@ class EnvState:
     carry_state: jax.Array      # (N,) int32
     active: jax.Array           # (N,) bool
     last_bonus: jax.Array       # (N,) int32, -1 = no tile visited yet
+    prestige: jax.Array         # (N,) float32 (SPEC §8 display accumulator)
     accum_reward: jax.Array     # (N,) float32
     last_reward: jax.Array      # (N,) float32
     # episode bookkeeping
@@ -124,6 +147,7 @@ def zeros_state(params: EnvParams, key: jax.Array) -> EnvState:
         carry_state=jnp.zeros((N,), i32),
         active=jnp.zeros((N,), bool),
         last_bonus=jnp.full((N,), -1, i32),
+        prestige=jnp.zeros((N,), jnp.float32),
         accum_reward=jnp.zeros((N,), jnp.float32),
         last_reward=jnp.zeros((N,), jnp.float32),
         step_count=jnp.zeros((), i32),

@@ -162,6 +162,12 @@ def step(params: EnvParams, state: EnvState, actions):
     """
     N = params.n_agents
     actions = jnp.asarray(actions, jnp.int32)
+    if params.has_spawn_delays:
+        # delayed spawns (``GridAgentInterface(spawn_delay)`` [L], SPEC §5):
+        # agent i activates at the start of the step whose pre-step
+        # step_count equals its delay (placed at reset, hidden until then)
+        dl = jnp.asarray(params.spawn_delay_tuple(), jnp.int32)
+        state.active = state.active | ((dl > 0) & (dl == state.step_count))
     x0, rw, y0, rh = interior_region(params)
     draws = rng.step_draws(state.key, N, params.max_place_tries, x0, rw,
                            y0, rh, with_respawn=params.respawn)
@@ -180,8 +186,17 @@ def step(params: EnvParams, state: EnvState, actions):
         rew = rew * decay
     state.accum_reward = state.accum_reward + rew
     state.last_reward = rew
+    # prestige display accumulator (SPEC §8): decay, then add this step's
+    # non-negative reward
+    state.prestige = (state.prestige * jnp.float32(params.prestige_beta)
+                      + jnp.maximum(rew, 0.0))
 
-    done = (state.step_count >= params.max_steps) | ~state.active.any()
+    alive = state.active
+    if params.has_spawn_delays:
+        # not-yet-spawned agents keep the episode alive (SPEC §5)
+        dl = jnp.asarray(params.spawn_delay_tuple(), jnp.int32)
+        alive = alive | (dl > state.step_count)
+    done = (state.step_count >= params.max_steps) | ~alive.any()
     return state, rew, done
 
 

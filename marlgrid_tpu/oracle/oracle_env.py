@@ -69,6 +69,7 @@ class OracleEnv:
         self.carrying = np.zeros((N, 3), np.int32)
         self.active = np.zeros(N, bool)
         self.last_bonus = np.full(N, -1, np.int32)
+        self.prestige = np.zeros(N, np.float32)
         self.accum_reward = np.zeros(N, np.float64)
         self.last_reward = np.zeros(N, np.float64)
         self.step_count = 0
@@ -150,13 +151,18 @@ class OracleEnv:
             at = (1, 1)
         self.agent_pos[i] = at
         self.agent_dir[i] = int(self._edirs[e])
-        self.active[i] = True
+        # delayed agents (spawn_delay [L], SPEC §5) start inactive
+        self.active[i] = self.p.spawn_delay_tuple()[i] == 0
 
     # ------------------------------------------------------------------- step
     def step(self, actions):
         """SPEC §5 — literal sequential per-agent loop (SURVEY §3.3)."""
         p = self.p
         N = p.n_agents
+        delays = p.spawn_delay_tuple()
+        for i in range(N):  # delayed spawns activate pre-step (SPEC §5)
+            if delays[i] > 0 and self.step_count == delays[i]:
+                self.active[i] = True
         draws = self._step_draws(self.key)
         self.key = np.asarray(draws[0])
         perm = np.asarray(draws[1])
@@ -188,7 +194,13 @@ class OracleEnv:
             rew *= 1.0 - 0.9 * self.step_count / p.max_steps
         self.accum_reward += rew
         self.last_reward = rew
-        done = (self.step_count >= p.max_steps) or not self.active.any()
+        # prestige display accumulator (SPEC §8) — float32, engine recipe
+        self.prestige = (self.prestige * np.float32(p.prestige_beta)
+                         + np.maximum(rew, 0).astype(np.float32)
+                         ).astype(np.float32)
+        pending = any(d > self.step_count for d in delays)
+        done = (self.step_count >= p.max_steps) \
+            or (not self.active.any() and not pending)
         obs = [self._obs(i) for i in range(N)]
         return obs, rew.astype(np.float32), bool(done), {}
 
@@ -380,7 +392,13 @@ class OracleEnv:
                     over = R.render_agent_tile(
                         p.agent_colors[j],
                         (int(self.agent_dir[j]) - d + 3) % 4, T)
-                    tile = np.where(over[..., 3:] > 0, over[..., :3], tile)
+                    # prestige dimming (SPEC §8) — engine recipe: scale the
+                    # full-bright sprite RGB by the quantized factor, truncate
+                    f = C.prestige_dim_factor(self.prestige[j],
+                                              p.prestige_scale)
+                    rgb = (over[..., :3].astype(np.float32)
+                           * f).astype(np.uint8)
+                    tile = np.where(over[..., 3:] > 0, rgb, tile)
                 img[vj * T:(vj + 1) * T, vi * T:(vi + 1) * T] = tile
         return img
 

@@ -244,14 +244,18 @@ def render_board(params, state, tile_size=16, highlight_mask=None):
     pos = np.asarray(state.agent_pos)
     dirs = np.asarray(state.agent_dir)
     act = np.asarray(state.active)
+    pres = np.asarray(state.prestige)
     alut = agent_lut(tile_size)
     for i in range(params.n_agents):
         if params.ghost_mode and not act[i]:
             continue
         x, y = int(pos[i, 0]), int(pos[i, 1])
         over = alut[1 + params.agent_colors[i] * 4 + int(dirs[i])]
+        # prestige dimming (SPEC §8) — same recipe as the device obs path
+        f = C.prestige_dim_factor(pres[i], params.prestige_scale)
+        rgb = (over[..., :3].astype(np.float32) * f).astype(np.uint8)
         cell = tiles[x, y]
-        tiles[x, y] = np.where(over[..., 3:] > 0, over[..., :3], cell)
+        tiles[x, y] = np.where(over[..., 3:] > 0, rgb, cell)
 
     img = tiles.transpose(1, 2, 0, 3, 4).reshape(H * tile_size,
                                                  W * tile_size, 3)

@@ -143,11 +143,13 @@ class MultiGridEnv:
         dirs = np.asarray(self.state.agent_dir)
         act = np.asarray(self.state.active)
         carry = np.asarray(self.state.carry_type)
+        pres = np.asarray(self.state.prestige)
         for i, a in enumerate(self.agents):
             a.pos = tuple(int(v) for v in pos[i])
             a.dir = int(dirs[i])
             a.active = bool(act[i])
             a.carrying = int(carry[i])
+            a.prestige = float(pres[i])
 
     def gen_agent_obs(self, agent):
         """One agent's current observation (``MultiGridEnv.gen_agent_obs``).
@@ -160,6 +162,26 @@ class MultiGridEnv:
     def encode(self) -> np.ndarray:
         """(W, H, 3) symbolic board encode (``MultiGrid.encode``)."""
         return np_grid(self.state, self.params)
+
+    def __str__(self):
+        """ASCII board render (``WorldObj.str_render`` [M] / minigrid
+        ``MultiGrid.__str__`` lineage): one 2-char code per cell, agents as
+        ``<dir-arrow><color letter>`` (shown when active or not ghost_mode),
+        rows are y (top to bottom), columns x."""
+        p = self.params
+        enc = self.encode()
+        cell = [[C.str_render(*enc[x, y]) for x in range(p.width)]
+                for y in range(p.height)]
+        pos = np.asarray(self.state.agent_pos)
+        dirs = np.asarray(self.state.agent_dir)
+        act = np.asarray(self.state.active)
+        for i in range(p.n_agents):
+            if p.ghost_mode and not act[i]:
+                continue
+            x, y = int(pos[i, 0]), int(pos[i, 1])
+            cell[y][x] = (C.AGENT_DIR_TO_STR[int(dirs[i])]
+                          + C.COLOR_NAMES[p.agent_colors[i]][0].upper())
+        return "\n".join("".join(row) for row in cell)
 
     def agent_highlight_mask(self) -> np.ndarray:
         """(W, H) bool union of all agents' visible cells (for render)."""

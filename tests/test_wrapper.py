@@ -122,3 +122,19 @@ def test_independent_learners():
         assert acts == [2, 1]
         obs, rew, done, _ = env.step(acts)
         learners.save_step(obs, acts, rew, done)
+
+
+def test_str_render():
+    """ASCII board (``WorldObj.str_render`` [M]): border walls, goal, agent
+    arrow; shape (height lines x 2*width chars)."""
+    from marlgrid_tpu.core import constants as C
+
+    env = make("MarlGrid-1AgentEmpty9x9-v0", seed=0)
+    env.reset()
+    s = str(env)
+    lines = s.split("\n")
+    assert len(lines) == 9 and all(len(ln) == 18 for ln in lines)
+    assert lines[0] == "WG" * 9 and lines[-1] == "WG" * 9  # grey wall border
+    assert "GG" in s  # green goal somewhere
+    assert any(a in s for a in (">R", "vR", "<R", "^R"))  # red agent arrow
+    assert C.str_render(C.DOOR, 2, C.DOOR_LOCKED) == "DL"
