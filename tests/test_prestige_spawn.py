@@ -177,3 +177,26 @@ def test_wrapper_accepts_prestige_and_spawn_kwargs():
         env.step([2, 2])
     assert env.agents[1].active
     assert isinstance(env.agents[0].prestige, float)
+
+
+def test_autoreset_clears_prestige_and_delayed_spawns():
+    """step_autoreset: a finished env comes back with prestige zeroed and
+    delayed agents inactive again (SPEC §9 fresh-state semantics)."""
+    params = EnvParams(width=9, height=9, n_agents=2, scenario="empty",
+                       spawn_delays=(0, 2), max_steps=3,
+                       agent_colors=default_agent_colors(2),
+                       observation_style="encode")
+    s = grid_gen.reset(params, jax.random.PRNGKey(4))
+    s.prestige = jnp.asarray([5.0, 5.0], jnp.float32)
+    step = jax.jit(lambda s, a: step_mod.step_autoreset(params, s, a))
+    a = jnp.zeros((2,), jnp.int32)
+    done_seen = False
+    for _ in range(params.max_steps):
+        s, _, done, _ = step(s, a)
+        if bool(done):
+            done_seen = True
+            np.testing.assert_array_equal(np.asarray(s.prestige), [0.0, 0.0])
+            np.testing.assert_array_equal(np.asarray(s.active),
+                                          [True, False])
+            assert int(s.step_count) == 0
+    assert done_seen
