@@ -13,6 +13,9 @@ Public surface:
   (``reset() -> [obs]``, ``step(actions) -> (obs, rew, done, info)``).
 - ``marlgrid_tpu.vector.VectorEnv`` — the TPU-native batched functional API.
 - ``marlgrid_tpu.agents`` — ``GridAgentInterface`` / ``IndependentLearners``.
+- ``marlgrid_tpu.objects`` — ``WorldObj`` classes + ``COLORS`` (the
+  reference's object vocabulary; ``core.grid_gen.register_scenario`` is the
+  ``_gen_grid`` extensibility hook they plug into).
 - ``marlgrid_tpu.utils.video.GridRecorder`` — episode video export.
 - ``marlgrid_tpu.parallel`` — device mesh sharding, rollouts, PPO.
 """

@@ -189,13 +189,56 @@ SCENARIOS: Dict[str, Callable] = {
     "goal_cycle": gen_goal_cycle,
 }
 
+_N_EVENTS: Dict[str, Callable] = {
+    "empty": lambda p: 1,
+    "cluttered": lambda p: p.n_clutter + 1,
+    "doorkey": lambda p: 3,
+    "goal_cycle": lambda p: p.n_clutter + p.n_bonus_tiles,
+}
+
+#: scenario name -> oracle-side builder (OracleEnv method-style callable);
+#: populated by register_scenario for custom scenarios
+ORACLE_SCENARIOS: Dict[str, Callable] = {}
+
+
+def register_scenario(name: str, builder: Callable, n_events,
+                      oracle_builder: Callable = None) -> str:
+    """Register a custom scenario — the TPU-native analog of subclassing
+    ``MultiGridEnv`` and overriding ``_gen_grid`` (``marlgrid/base.py —
+    §_gen_grid`` hook, SURVEY §3.2).
+
+    ``builder(params, layers, split_x, door_y) -> (layers, events,
+    agent_mask)`` follows the builtin builders above; ``events`` entries may
+    be ``(type, color, state, mask_or_None)`` tuples, ``WorldObj`` instances
+    from ``marlgrid_tpu.objects`` (placed anywhere), ``(WorldObj, mask)``
+    pairs, or None (draw consumed, nothing placed). ``n_events`` is an int
+    or ``f(params) -> int`` and must be static per config (jit constant).
+    ``oracle_builder(oracle_env)`` optionally mirrors the placement event
+    sequence on the pure-Python oracle so custom scenarios stay
+    parity-testable; it returns the agent spawn mask (or None).
+    """
+    SCENARIOS[name] = builder
+    _N_EVENTS[name] = n_events if callable(n_events) else (
+        lambda p, _n=n_events: _n)
+    if oracle_builder is not None:
+        ORACLE_SCENARIOS[name] = oracle_builder
+    return name
+
+
+def normalize_event(ev):
+    """Event entry -> (type, color, state, mask_or_None) or None."""
+    if ev is None:
+        return None
+    if isinstance(ev, tuple) and len(ev) == 4:
+        return ev
+    if isinstance(ev, tuple) and len(ev) == 2:   # (WorldObj, mask)
+        obj, mask = ev
+        return obj.encode() + (mask,)
+    return ev.encode() + (None,)                 # bare WorldObj
+
 
 def n_scenario_events(params: EnvParams) -> int:
-    return {"empty": 1,
-            "cluttered": params.n_clutter + 1,
-            "doorkey": 3,
-            "goal_cycle": params.n_clutter + params.n_bonus_tiles
-            }[params.scenario]
+    return _N_EVENTS[params.scenario](params)
 
 
 def reset(params: EnvParams, key) -> EnvState:
@@ -220,6 +263,7 @@ def reset(params: EnvParams, key) -> EnvState:
     words = pack_mask((gt == C.EMPTY).reshape(-1))
     placed = []  # (x, y, ok, type, color, obj_state) of painted objects
     for e, ev in enumerate(events):
+        ev = normalize_event(ev)
         if ev is None:
             continue
         otype, ocolor, ostate, mask = ev

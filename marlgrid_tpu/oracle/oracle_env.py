@@ -25,10 +25,9 @@ from ..core.state import EnvParams
 
 
 def _n_scenario_events(p: EnvParams) -> int:
-    return {"empty": 1,
-            "cluttered": p.n_clutter + 1,
-            "doorkey": 3,
-            "goal_cycle": p.n_clutter + p.n_bonus_tiles}[p.scenario]
+    from ..core.grid_gen import n_scenario_events
+
+    return n_scenario_events(p)
 
 
 class OracleEnv:
@@ -110,6 +109,10 @@ class OracleEnv:
             for b in range(p.n_bonus_tiles):
                 self._place_obj((C.BONUS, pink, b))
             return None
+        from ..core.grid_gen import ORACLE_SCENARIOS
+
+        if p.scenario in ORACLE_SCENARIOS:  # register_scenario custom hook
+            return ORACLE_SCENARIOS[p.scenario](self)
         raise ValueError(p.scenario)
 
     # ----------------------------------------------------- placement protocol
@@ -137,6 +140,8 @@ class OracleEnv:
         return None
 
     def _place_obj(self, cell, mask=None):
+        if hasattr(cell, "encode"):   # accept marlgrid_tpu.objects instances
+            cell = cell.encode()
         e = self._ev
         self._ev += 1
         at = self._select_cell(self._exs[e], self._eys[e], mask)
