@@ -192,6 +192,15 @@ class BonusTile(WorldObj):
         return self.state
 
 
+class BulkObj(WorldObj):
+    """Appearance-keyed bulk object (``marlgrid/objects.py — §BulkObj``
+    [L]): in the reference lineage this exists so identical-looking cells
+    hash equal for the tile cache. Here appearance-keying is structural —
+    ``__hash__``/``__eq__`` on the encode triple (inherited) — and the tile
+    cache itself is the sprite LUT, so the class is a thin alias kept for
+    import compatibility."""
+
+
 class GridAgent(WorldObj):
     """Agent as it appears in observations (``§GridAgent`` [H]): type 10,
     color = agent color, state = relative dir; triangle sprite."""
