@@ -92,6 +92,9 @@ class MultiGridEnv:
         """gym-style seeding (``marlgrid/base.py — §seed`` analog)."""
         self._key = jax.random.PRNGKey(seed)
         self._episode = 0
+        # host-side RNG for the interactive place_obj/place_agent helpers
+        # (off the jitted path; the in-graph reset uses the SPEC §4 protocol)
+        self.np_random = np.random.default_rng(seed)
         return [seed]
 
     @property
@@ -162,6 +165,84 @@ class MultiGridEnv:
     def encode(self) -> np.ndarray:
         """(W, H, 3) symbolic board encode (``MultiGrid.encode``)."""
         return np_grid(self.state, self.params)
+
+    def _free_cells_host(self, top, size, reject_fn):
+        """(K, 2) int array of placeable cells under the reference's
+        validity rule (empty cell, no agent, caller reject_fn)."""
+        p = self.params
+        enc = self.encode()
+        x0, y0 = top
+        x1 = p.width if size is None else min(x0 + size[0], p.width)
+        y1 = p.height if size is None else min(y0 + size[1], p.height)
+        pos = np.asarray(self.state.agent_pos)
+        out = []
+        for x in range(x0, x1):
+            for y in range(y0, y1):
+                if enc[x, y, 0] != C.EMPTY:
+                    continue
+                if ((pos[:, 0] == x) & (pos[:, 1] == y)).any():
+                    continue
+                if reject_fn is not None and reject_fn(self, (x, y)):
+                    continue
+                out.append((x, y))
+        return out
+
+    def _set_cell_host(self, x, y, cell):
+        flat = x * self.params.height + y
+        t, c_, s = (int(v) for v in cell)
+        self.state.grid_type = self.state.grid_type.at[flat].set(t)
+        self.state.grid_color = self.state.grid_color.at[flat].set(c_)
+        self.state.grid_state = self.state.grid_state.at[flat].set(s)
+
+    def place_obj(self, obj, top=(0, 0), size=None, reject_fn=None,
+                  max_tries=100):
+        """Rejection-sample a free cell and place ``obj`` there
+        (``MultiGridEnv.place_obj``, SURVEY §3.2). Host-side convenience for
+        interactive use — mutates the CURRENT episode state via device
+        updates; the in-graph reset path places through the SPEC §4 event
+        chain instead. ``obj`` is a ``marlgrid_tpu.objects`` instance or a
+        (type, color, state) triple. Returns the (x, y) chosen, or None if
+        no cell was free within ``max_tries`` draws (then falls back to the
+        first free cell, matching SPEC §4)."""
+        assert self.state is not None, "call reset() first"
+        cell = obj.encode() if hasattr(obj, "encode") else tuple(obj)
+        free = self._free_cells_host(top, size, reject_fn)
+        if not free:
+            return None
+        p = self.params
+        free_set = set(free)
+        for _ in range(max_tries):
+            x = int(self.np_random.integers(top[0],
+                                            top[0] + (size[0] if size
+                                                      else p.width)))
+            y = int(self.np_random.integers(top[1],
+                                            top[1] + (size[1] if size
+                                                      else p.height)))
+            if (x, y) in free_set:
+                self._set_cell_host(x, y, cell)
+                return (x, y)
+        # SPEC §4 fallback: first free cell in row-major (y, then x) order
+        x, y = min(free, key=lambda xy: (xy[1], xy[0]))
+        self._set_cell_host(x, y, cell)
+        return (x, y)
+
+    def place_agent(self, i, top=(0, 0), size=None, reject_fn=None,
+                    max_tries=100, dir=None):
+        """Re-place agent ``i`` at a free cell (``MultiGridEnv.place_agent``
+        analog; host-side convenience like ``place_obj``)."""
+        assert self.state is not None, "call reset() first"
+        free = self._free_cells_host(top, size, reject_fn)
+        if not free:
+            return None
+        x, y = free[int(self.np_random.integers(0, len(free)))]
+        self.state.agent_pos = self.state.agent_pos.at[i].set(
+            jnp.asarray([x, y], jnp.int32))
+        if dir is None:
+            dir = int(self.np_random.integers(0, 4))
+        self.state.agent_dir = self.state.agent_dir.at[i].set(dir)
+        self.state.active = self.state.active.at[i].set(True)
+        self._sync_agents()
+        return (x, y)
 
     def __str__(self):
         """ASCII board render (``WorldObj.str_render`` [M] / minigrid

@@ -138,3 +138,28 @@ def test_str_render():
     assert "GG" in s  # green goal somewhere
     assert any(a in s for a in (">R", "vR", "<R", "^R"))  # red agent arrow
     assert C.str_render(C.DOOR, 2, C.DOOR_LOCKED) == "DL"
+
+
+def test_place_obj_and_place_agent():
+    """Host-side ``place_obj``/``place_agent`` (``MultiGridEnv.place_obj``,
+    SURVEY §3.2): rejection-sampled free cell, state mutated, engine keeps
+    stepping from the edited board."""
+    from marlgrid_tpu import objects as O
+    from marlgrid_tpu.core import constants as C
+
+    env = make("MarlGrid-2AgentEmpty9x9-v0", seed=4)
+    env.reset()
+    at = env.place_obj(O.Ball("purple"))
+    assert at is not None
+    x, y = at
+    assert tuple(env.encode()[x, y]) == (C.BALL, C.COLOR_TO_IDX["purple"], 0)
+    # region-restricted placement with a reject_fn
+    at2 = env.place_obj(O.Key("red"), top=(1, 1), size=(3, 3),
+                        reject_fn=lambda e, pos: pos == (1, 1))
+    assert at2 is not None and at2 != (1, 1)
+    assert 1 <= at2[0] <= 3 and 1 <= at2[1] <= 3
+    at3 = env.place_agent(0, dir=2)
+    assert at3 is not None and env.agents[0].dir == 2
+    assert env.agents[0].pos == at3
+    obs, rew, done, _ = env.step([2, 2])  # engine still steps cleanly
+    assert len(obs) == 2
