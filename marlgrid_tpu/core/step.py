@@ -193,9 +193,12 @@ def step(params: EnvParams, state: EnvState, actions):
 
     alive = state.active
     if params.has_spawn_delays:
-        # not-yet-spawned agents keep the episode alive (SPEC §5)
+        # not-yet-spawned agents keep the episode alive (SPEC §5.5b).
+        # step_count is post-increment here; an agent with dl == step_count
+        # activates at the START of the next step (pre-step count == dl), so
+        # pending is dl >= step_count, not dl > step_count.
         dl = jnp.asarray(params.spawn_delay_tuple(), jnp.int32)
-        alive = alive | (dl > state.step_count)
+        alive = alive | ((dl > 0) & (dl >= state.step_count))
     done = (state.step_count >= params.max_steps) | ~alive.any()
     return state, rew, done
 

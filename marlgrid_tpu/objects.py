@@ -114,6 +114,9 @@ class Goal(WorldObj):
 
     type_code = C.GOAL
     default_color = "green"
+    #: class-level default so decoded instances (``from_encoding``, which
+    #: bypasses subclass __init__) always expose ``reward`` (ADVICE r1)
+    reward: float = 1.0
 
     def __init__(self, reward: float = 1.0, color: Optional[str] = None):
         super().__init__(color)
@@ -180,6 +183,9 @@ class BonusTile(WorldObj):
 
     type_code = C.BONUS
     default_color = "pink"
+    #: class-level defaults so decoded instances always expose these
+    reward: float = 1.0
+    penalty: float = 0.5
 
     def __init__(self, bonus_id: int = 0, color: Optional[str] = None,
                  reward: float = 1.0, penalty: float = 0.5):

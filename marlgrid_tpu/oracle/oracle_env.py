@@ -203,7 +203,9 @@ class OracleEnv:
         self.prestige = (self.prestige * np.float32(p.prestige_beta)
                          + np.maximum(rew, 0).astype(np.float32)
                          ).astype(np.float32)
-        pending = any(d > self.step_count for d in delays)
+        # post-increment count: an agent with d == step_count activates at
+        # the start of the NEXT step, so it still counts as pending (§5.5b)
+        pending = any(d > 0 and d >= self.step_count for d in delays)
         done = (self.step_count >= p.max_steps) \
             or (not self.active.any() and not pending)
         obs = [self._obs(i) for i in range(N)]

@@ -201,9 +201,10 @@ class MultiGridEnv:
         interactive use — mutates the CURRENT episode state via device
         updates; the in-graph reset path places through the SPEC §4 event
         chain instead. ``obj`` is a ``marlgrid_tpu.objects`` instance or a
-        (type, color, state) triple. Returns the (x, y) chosen, or None if
-        no cell was free within ``max_tries`` draws (then falls back to the
-        first free cell, matching SPEC §4)."""
+        (type, color, state) triple. Returns the (x, y) chosen; None only
+        when no free cell exists in the region at all. If ``max_tries``
+        uniform draws all land on occupied cells, falls back to the first
+        free cell in row-major order (matching SPEC §4)."""
         assert self.state is not None, "call reset() first"
         cell = obj.encode() if hasattr(obj, "encode") else tuple(obj)
         free = self._free_cells_host(top, size, reject_fn)
@@ -211,13 +212,15 @@ class MultiGridEnv:
             return None
         p = self.params
         free_set = set(free)
+        # sample from the rectangle clamped to the board (same x1/y1 as
+        # _free_cells_host) so a non-zero ``top`` keeps placement uniform
+        # instead of wasting draws off-board (ADVICE r1)
+        x0, y0 = top
+        x1 = p.width if size is None else min(x0 + size[0], p.width)
+        y1 = p.height if size is None else min(y0 + size[1], p.height)
         for _ in range(max_tries):
-            x = int(self.np_random.integers(top[0],
-                                            top[0] + (size[0] if size
-                                                      else p.width)))
-            y = int(self.np_random.integers(top[1],
-                                            top[1] + (size[1] if size
-                                                      else p.height)))
+            x = int(self.np_random.integers(x0, x1))
+            y = int(self.np_random.integers(y0, y1))
             if (x, y) in free_set:
                 self._set_cell_host(x, y, cell)
                 return (x, y)
@@ -227,9 +230,18 @@ class MultiGridEnv:
         return (x, y)
 
     def place_agent(self, i, top=(0, 0), size=None, reject_fn=None,
-                    max_tries=100, dir=None):
+                    max_tries=100, dir=None, activate=True):
         """Re-place agent ``i`` at a free cell (``MultiGridEnv.place_agent``
-        analog; host-side convenience like ``place_obj``)."""
+        analog; host-side convenience like ``place_obj``).
+
+        With ``activate=True`` (default) the agent is activated UNLESS it
+        still has an unmet ``spawn_delay`` (SPEC §5.5b: a pending agent
+        activates in-graph at the step whose pre-step count equals its
+        delay; pre-activating here would skip that protocol). Re-activating
+        an agent that finished (reached a goal / died) IS allowed — this is
+        an interactive board edit that deliberately overrides §5.5b's
+        "never re-activates" for authoring purposes; pass ``activate=False``
+        to move the agent without touching its active flag."""
         assert self.state is not None, "call reset() first"
         free = self._free_cells_host(top, size, reject_fn)
         if not free:
@@ -240,7 +252,9 @@ class MultiGridEnv:
         if dir is None:
             dir = int(self.np_random.integers(0, 4))
         self.state.agent_dir = self.state.agent_dir.at[i].set(dir)
-        self.state.active = self.state.active.at[i].set(True)
+        dl = self.params.spawn_delay_tuple()[i]
+        if activate and not (dl > 0 and dl >= int(self.state.step_count)):
+            self.state.active = self.state.active.at[i].set(True)
         self._sync_agents()
         return (x, y)
 

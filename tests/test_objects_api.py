@@ -37,6 +37,13 @@ def test_worldobj_encode_roundtrip_and_box_contents():
     box = O.Box("grey", contains=O.Ball("purple"))
     inner = box.contains
     assert isinstance(inner, O.Ball) and inner.color == "purple"
+    # decoded Goal/BonusTile always expose reward/penalty even though
+    # from_encoding bypasses subclass __init__ (ADVICE r1)
+    g = O.from_encoding(*O.Goal().encode())
+    assert isinstance(g, O.Goal) and g.reward == 1.0
+    bt = O.from_encoding(*O.BonusTile(bonus_id=1).encode())
+    assert isinstance(bt, O.BonusTile)
+    assert bt.reward == 1.0 and bt.penalty == 0.5
     # sprite render matches the LUT builder used by the device path
     from marlgrid_tpu import rendering
     np.testing.assert_array_equal(

@@ -151,13 +151,27 @@ def test_spawn_delay_keeps_episode_alive():
                        observation_style="encode")
     s = grid_gen.reset(params, jax.random.PRNGKey(0))
     assert not bool(s.active[0])
+    step = jax.jit(lambda s, a: step_mod.step(params, s, a))
     for t in range(4):
-        s, _, done = jax.jit(
-            lambda s, a: step_mod.step(params, s, a))(s, jnp.zeros((1,),
-                                                                   jnp.int32))
-        if t < 2:
+        s, _, done = step(s, jnp.zeros((1,), jnp.int32))
+        # SPEC §5.5b: not-done through the spawn step — the agent activates
+        # at the start of the step with pre-step count == 3 (t == 3), so the
+        # episode must stay alive through t < 3 and the agent must be active
+        # (having acted) before any done can fire.
+        if t < 3:
             assert not bool(done), f"episode died before spawn at t={t}"
+        if t >= 3:
+            assert bool(s.active[0]), f"agent not active after spawn t={t}"
     assert bool(s.active[0])
+
+    # the oracle must agree step-for-step (shared-bug regression guard)
+    oracle = OracleEnv(params)
+    oracle.reset(jax.random.PRNGKey(0))
+    s2 = grid_gen.reset(params, jax.random.PRNGKey(0))
+    for t in range(5):
+        s2, _, done = step(s2, jnp.zeros((1,), jnp.int32))
+        _, _, odone, _ = oracle.step(np.zeros(1, np.int32))
+        assert bool(done) == bool(odone), f"done mismatch t={t}"
 
 
 def test_wrapper_accepts_prestige_and_spawn_kwargs():
