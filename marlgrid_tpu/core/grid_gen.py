@@ -225,7 +225,55 @@ def register_scenario(name: str, builder: Callable, n_events,
     return name
 
 
-def normalize_event(ev):
+def encode_obj_cell(obj, params: EnvParams = None):
+    """(type, color, state) cell triple of a WorldObj under ``params``,
+    honoring per-object rewards (``marlgrid/objects.py — §Goal(reward)`` [H],
+    ``§BonusTile(reward, penalty)`` [M]).
+
+    A ``Goal(reward=r)`` maps r to an index into ``params.goal_rewards``
+    (stored in the cell's state field, which the step engine pays out);
+    a ``BonusTile``'s reward/penalty are validated against the per-tile
+    tables (indexed by its bonus_id). Raises ValueError with a fix-it
+    message when the object's reward is not representable under params.
+    """
+    t, c, s = obj.encode()
+    if params is None:
+        return (t, c, s)
+    r = getattr(obj, "reward", None)
+    if t == C.GOAL and r is not None:
+        r = float(r)
+        if params.goal_rewards:
+            try:
+                s = params.goal_rewards.index(r)
+            except ValueError:
+                raise ValueError(
+                    f"Goal(reward={r}) placed but {r} is not in "
+                    f"EnvParams.goal_rewards={params.goal_rewards}; add it "
+                    f"to the table") from None
+        elif r != params.goal_reward:
+            raise ValueError(
+                f"Goal(reward={r}) placed but EnvParams pays the uniform "
+                f"goal_reward={params.goal_reward}; set "
+                f"goal_rewards=({params.goal_reward}, {r}, …) on EnvParams "
+                f"and this goal will be encoded as an index into it")
+    if t == C.BONUS:
+        rew = float(getattr(obj, "reward", params.bonus_reward))
+        pen = float(getattr(obj, "penalty", params.bonus_penalty))
+        table_rew = (params.bonus_rewards[s] if params.bonus_rewards
+                     else params.bonus_reward)
+        table_pen = (params.bonus_penalties[s] if params.bonus_penalties
+                     else params.bonus_penalty)
+        if rew != table_rew or pen != table_pen:
+            raise ValueError(
+                f"BonusTile(bonus_id={s}, reward={rew}, penalty={pen}) does "
+                f"not match what EnvParams pays for tile {s} "
+                f"(reward={table_rew}, penalty={table_pen}); set "
+                f"bonus_rewards/bonus_penalties tuples (indexed by "
+                f"bonus_id) on EnvParams")
+    return (t, c, s)
+
+
+def normalize_event(ev, params: EnvParams = None):
     """Event entry -> (type, color, state, mask_or_None) or None."""
     if ev is None:
         return None
@@ -233,8 +281,8 @@ def normalize_event(ev):
         return ev
     if isinstance(ev, tuple) and len(ev) == 2:   # (WorldObj, mask)
         obj, mask = ev
-        return obj.encode() + (mask,)
-    return ev.encode() + (None,)                 # bare WorldObj
+        return encode_obj_cell(obj, params) + (mask,)
+    return encode_obj_cell(ev, params) + (None,)  # bare WorldObj
 
 
 def n_scenario_events(params: EnvParams) -> int:
@@ -263,7 +311,7 @@ def reset(params: EnvParams, key) -> EnvState:
     words = pack_mask((gt == C.EMPTY).reshape(-1))
     placed = []  # (x, y, ok, type, color, obj_state) of painted objects
     for e, ev in enumerate(events):
-        ev = normalize_event(ev)
+        ev = normalize_event(ev, params)
         if ev is None:
             continue
         otype, ocolor, ostate, mask = ev

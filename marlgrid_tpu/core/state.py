@@ -59,6 +59,15 @@ class EnvParams:
     lava_penalty: float = 0.0
     bonus_reward: float = 1.0
     bonus_penalty: float = 0.5
+    # per-object reward tables (``marlgrid/objects.py — §Goal(reward)`` [H] /
+    # ``§BonusTile(reward, penalty)`` [M]): when non-empty, a goal cell's
+    # state field indexes goal_rewards (scenarios place ``Goal(reward=r)``
+    # by looking r up here — see grid_gen.encode_obj_cell), and a bonus
+    # tile's bonus_id indexes bonus_rewards/bonus_penalties. Empty tuples
+    # mean the uniform scalars above apply to every object.
+    goal_rewards: Tuple[float, ...] = ()
+    bonus_rewards: Tuple[float, ...] = ()
+    bonus_penalties: Tuple[float, ...] = ()
     # scenario knobs (SPEC §6)
     scenario: str = "empty"       # 'empty' | 'cluttered' | 'doorkey' | 'goal_cycle'
     n_clutter: int = 25
@@ -79,6 +88,14 @@ class EnvParams:
                 f"spawn_delays {self.spawn_delays} must be empty or have "
                 f"n_agents={self.n_agents} entries"
             )
+        for name in ("bonus_rewards", "bonus_penalties"):
+            tab = getattr(self, name)
+            assert not tab or len(tab) >= self.n_bonus_tiles, (
+                f"{name} {tab} must be empty or have at least "
+                f"n_bonus_tiles={self.n_bonus_tiles} entries (indexed by "
+                f"bonus_id)"
+            )
+        assert len(self.goal_rewards) < 256, "goal state field is uint8"
 
     def spawn_delay_tuple(self) -> Tuple[int, ...]:
         """spawn_delays normalized to length n_agents (() -> all zero)."""

@@ -24,6 +24,13 @@ from .state import EnvParams, EnvState
 _DIR_VEC = jnp.asarray(C.DIR_VEC)
 
 
+def _float_lookup(table, idx):
+    """table[idx] for a static float tuple, gather-free (D.table_lookup
+    accumulates through int32 and would truncate float rewards)."""
+    t = jnp.asarray(table, jnp.float32)
+    return ((idx[..., None] == jnp.arange(t.shape[0])) * t).sum(-1)
+
+
 def _read_cell3(params: EnvParams, state: EnvState, x, y):
     """(type, color, state) of one cell, gather-free, on the FLAT layers
     (flat one-hots pad to ~256 lanes vs 8.5x padding for (W, H) forms)."""
@@ -70,17 +77,29 @@ def _agent_micro_step(params: EnvParams, state: EnvState, rew, i, actions,
     on_lava = moves & (ft == C.LAVA)
     on_bonus = moves & (ft == C.BONUS)
 
-    r = (jnp.where(on_goal, params.goal_reward, 0.0)
+    # per-object goal rewards (``marlgrid/objects.py — §Goal(reward)`` [H]):
+    # the goal cell's state field indexes the static table when one is set
+    if params.goal_rewards:
+        goal_r = _float_lookup(params.goal_rewards, fs)
+    else:
+        goal_r = params.goal_reward
+    r = (jnp.where(on_goal, goal_r, 0.0)
          + jnp.where(on_lava, params.lava_penalty, 0.0))
 
-    # bonus-tile cycle (SPEC §5; ``marlgrid/objects.py — §BonusTile`` [M])
+    # bonus-tile cycle (SPEC §5; ``marlgrid/objects.py — §BonusTile`` [M]);
+    # per-tile magnitudes indexed by the stepped-on tile's bonus_id when
+    # tables are set (``§BonusTile(reward, penalty)`` [M])
     lb = D.read_row(state.last_bonus, i)
     b = fs
     first = lb < 0
     same = b == lb
     succ = b == (lb + 1) % max(params.n_bonus_tiles, 1)
-    bonus_r = jnp.where(first | succ, params.bonus_reward,
-                        jnp.where(same, 0.0, -params.bonus_penalty))
+    b_rew = _float_lookup(params.bonus_rewards, b) \
+        if params.bonus_rewards else params.bonus_reward
+    b_pen = _float_lookup(params.bonus_penalties, b) \
+        if params.bonus_penalties else params.bonus_penalty
+    bonus_r = jnp.where(first | succ, b_rew,
+                        jnp.where(same, 0.0, -b_pen))
     r = r + jnp.where(on_bonus, bonus_r, 0.0)
     state.last_bonus = D.write_row(state.last_bonus, i,
                                    jnp.where(on_bonus & ~same, b, lb))

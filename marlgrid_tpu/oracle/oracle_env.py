@@ -141,7 +141,9 @@ class OracleEnv:
 
     def _place_obj(self, cell, mask=None):
         if hasattr(cell, "encode"):   # accept marlgrid_tpu.objects instances
-            cell = cell.encode()
+            from ..core.grid_gen import encode_obj_cell
+
+            cell = encode_obj_cell(cell, self.p)
         e = self._ev
         self._ev += 1
         at = self._select_cell(self._exs[e], self._eys[e], mask)
@@ -237,7 +239,9 @@ class OracleEnv:
         self.agent_pos[i] = (fx, fy)
         r = 0.0
         if ft == C.GOAL:
-            r += p.goal_reward
+            # per-object reward: goal state indexes the table when set
+            r += (p.goal_rewards[int(fs)] if p.goal_rewards
+                  else p.goal_reward)
             if p.respawn:
                 rxs, rys, rdirs = self._respawn_draws
                 at = self._select_cell(rxs[i], rys[i], None)
@@ -251,13 +255,16 @@ class OracleEnv:
             self.active[i] = False
         elif ft == C.BONUS:
             b, lb = int(fs), int(self.last_bonus[i])
+            b_rew = p.bonus_rewards[b] if p.bonus_rewards else p.bonus_reward
+            b_pen = (p.bonus_penalties[b] if p.bonus_penalties
+                     else p.bonus_penalty)
             if lb < 0 or b == (lb + 1) % max(p.n_bonus_tiles, 1):
-                r += p.bonus_reward
+                r += b_rew
                 self.last_bonus[i] = b
             elif b == lb:
                 pass
             else:
-                r -= p.bonus_penalty
+                r -= b_pen
                 self.last_bonus[i] = b
         return r
 

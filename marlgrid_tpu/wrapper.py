@@ -206,7 +206,8 @@ class MultiGridEnv:
         uniform draws all land on occupied cells, falls back to the first
         free cell in row-major order (matching SPEC §4)."""
         assert self.state is not None, "call reset() first"
-        cell = obj.encode() if hasattr(obj, "encode") else tuple(obj)
+        cell = grid_gen.encode_obj_cell(obj, self.params) \
+            if hasattr(obj, "encode") else tuple(obj)
         free = self._free_cells_host(top, size, reject_fn)
         if not free:
             return None
