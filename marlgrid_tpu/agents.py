@@ -83,8 +83,9 @@ class GridAgentInterface:
         if self.observation_style == "encode":
             return spaces.Box(0, 255, (self.view_size, self.view_size, 3),
                               np.int32)
-        d = {"pov": pov,
-             "reward": spaces.Box(-np.inf, np.inf, (), np.float32)}
+        d = {"pov": pov}
+        if self.observe_rewards:
+            d["reward"] = spaces.Box(-np.inf, np.inf, (), np.float32)
         if self.observe_position:
             d["position"] = spaces.Box(0, 255, (2,), np.int32)
         if self.observe_orientation:
@@ -98,6 +99,16 @@ class IndependentLearners(list):
 
     def __init__(self, *learners):
         super().__init__(learners)
+
+    @property
+    def observation_space(self):
+        """Aggregate Tuple space over the wrapped learners (SURVEY §2.1
+        [M]); each learner must expose its own space."""
+        return spaces.Tuple([lrn.observation_space for lrn in self])
+
+    @property
+    def action_space(self):
+        return spaces.Tuple([lrn.action_space for lrn in self])
 
     def action_step(self, obs_list):
         return [lrn.action_step(obs) for lrn, obs in zip(self, obs_list)]

@@ -153,8 +153,13 @@ def str_render(obj_type: int, color_idx: int, obj_state: int = 0) -> str:
 # factors (level = floor(prestige / prestige_scale), clipped) so the engine's
 # on-device render and the oracle's per-cell rasterizer agree bit-exactly.
 N_PRESTIGE_LEVELS = 8
+# Values are exactly representable in bfloat16 (8-bit mantissa) so the
+# Pallas sprite-composite kernel's bf16 dim factors reproduce the f32
+# reference computation bit-for-bit (ops/sprite.py); the table is the single
+# source for engine AND oracle, so parity is unaffected by the choice.
 PRESTIGE_DIM = np.array(
-    [1.0, 0.85, 0.72, 0.61, 0.52, 0.44, 0.38, 0.32], dtype=np.float32)
+    [1.0, 0.8515625, 0.71875, 0.609375, 0.51953125, 0.439453125,
+     0.380859375, 0.3203125], dtype=np.float32)
 
 
 def prestige_dim_factor(prestige, scale):

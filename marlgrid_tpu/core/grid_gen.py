@@ -200,9 +200,23 @@ _N_EVENTS: Dict[str, Callable] = {
 #: populated by register_scenario for custom scenarios
 ORACLE_SCENARIOS: Dict[str, Callable] = {}
 
+#: scenario name -> static tuple of every (type, color, s_vis) cell
+#: appearance the scenario can ever show (s_vis = door state for doors,
+#: else 0). Used by the Pallas sprite-composite obs kernel (ops/sprite.py)
+#: to shrink its per-cell palette; a scenario without an entry falls back
+#: to the full-LUT XLA path. EMPTY and the grey wall border are implied.
+SCENARIO_PALETTES: Dict[str, Tuple] = {
+    "empty": ((C.GOAL, 3, 0),),                     # green goal
+    "cluttered": ((C.GOAL, 3, 0),),
+    "doorkey": ((C.DOOR, 2, 0), (C.DOOR, 2, 1), (C.DOOR, 2, 2),
+                (C.KEY, 2, 0), (C.GOAL, 3, 0)),     # yellow door/key
+    "goal_cycle": ((C.BONUS, 6, 0),),               # pink bonus tiles
+}
+
 
 def register_scenario(name: str, builder: Callable, n_events,
-                      oracle_builder: Callable = None) -> str:
+                      oracle_builder: Callable = None,
+                      palette: Tuple = None) -> str:
     """Register a custom scenario — the TPU-native analog of subclassing
     ``MultiGridEnv`` and overriding ``_gen_grid`` (``marlgrid/base.py —
     §_gen_grid`` hook, SURVEY §3.2).
@@ -216,12 +230,17 @@ def register_scenario(name: str, builder: Callable, n_events,
     ``oracle_builder(oracle_env)`` optionally mirrors the placement event
     sequence on the pure-Python oracle so custom scenarios stay
     parity-testable; it returns the agent spawn mask (or None).
+    ``palette`` optionally lists every (type, color, s_vis) appearance the
+    scenario can show (see SCENARIO_PALETTES) to enable the Pallas
+    sprite-composite obs fast path for the custom scenario.
     """
     SCENARIOS[name] = builder
     _N_EVENTS[name] = n_events if callable(n_events) else (
         lambda p, _n=n_events: _n)
     if oracle_builder is not None:
         ORACLE_SCENARIOS[name] = oracle_builder
+    if palette is not None:
+        SCENARIO_PALETTES[name] = tuple(palette)
     return name
 
 
@@ -289,6 +308,26 @@ def n_scenario_events(params: EnvParams) -> int:
     return _N_EVENTS[params.scenario](params)
 
 
+def agent_spawn_region_mask(params: EnvParams):
+    """(W, H) numpy bool of the static agent spawn rectangle, or None when
+    unconstrained (``MultiGridEnv(agent_spawn_kwargs)`` [M]: the reference
+    forwards top/size into per-agent ``place_obj`` calls; here the
+    rectangle is a static jit constant ANDed into the placement mask)."""
+    import numpy as np
+
+    if params.agent_spawn_size is None and params.agent_spawn_top == (0, 0):
+        return None
+    x0, y0 = params.agent_spawn_top
+    if params.agent_spawn_size is None:
+        x1, y1 = params.width, params.height
+    else:
+        x1 = min(x0 + params.agent_spawn_size[0], params.width)
+        y1 = min(y0 + params.agent_spawn_size[1], params.height)
+    m = np.zeros((params.width, params.height), bool)
+    m[x0:x1, y0:y1] = True
+    return m
+
+
 def reset(params: EnvParams, key) -> EnvState:
     """Full episode reset (SPEC §6): border → scenario events → agent events.
 
@@ -321,6 +360,10 @@ def reset(params: EnvParams, key) -> EnvState:
         placed.append((x, y, ok, otype, ocolor, ostate))
 
     base = len(events)
+    region = agent_spawn_region_mask(params)
+    if region is not None:
+        region = jnp.asarray(region)
+        agent_mask = region if agent_mask is None else (agent_mask & region)
     for i in range(N):
         e = base + i
         w = words if agent_mask is None else \

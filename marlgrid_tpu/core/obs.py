@@ -466,12 +466,17 @@ def all_obs_encode_b(params: EnvParams, bstate: EnvState, bminor=False):
     return out.transpose(4, 1, 2, 3, 0)
 
 
-def all_obs_image_b(params: EnvParams, bstate: EnvState, base_lut, agent_lut):
+def all_obs_image_b(params: EnvParams, bstate: EnvState, base_lut, agent_lut,
+                    force_xla: bool = False, sprite_interpret: bool = False):
     """Batched 'image' obs: (B, N, vs*T, vs*T, 3) uint8.
 
-    The sprite select folds batch into the GEMM M dim against the SHARED
-    LUT RHS — one (B*N*vs*vs, n_appear) x (n_appear, T*T*ch) matmul instead
-    of B vmapped 147-row ones (§all_obs_image).
+    Fast path: the Pallas sprite-composite kernel (ops/sprite.py) — compact
+    scenario palette, VMEM-resident LUTs, no HBM intermediates, no output
+    transpose. Fallback (non-TPU backends, unknown palettes, odd batch
+    sizes): the sprite select folds batch into a one-hot GEMM M dim against
+    the SHARED full-LUT RHS — one (B*N*vs*vs, n_appear) x (n_appear,
+    T*T*ch) matmul instead of B vmapped 298-row ones (§all_obs_image). Both
+    paths are bit-identical (tested).
     """
     N, vs, T = params.n_agents, params.view_size, params.view_tile_size
     B = bstate.grid_type.shape[0]
@@ -484,6 +489,12 @@ def all_obs_image_b(params: EnvParams, bstate: EnvState, base_lut, agent_lut):
                             params.view_offset)
         base_id = jnp.where(vis, base_id, N_BASE_APPEAR)   # extra black row
         agent_id = jnp.where(vis, agent_id, 0)
+
+    from ..ops import sprite
+    if not force_xla and sprite.base_palette(params) is not None \
+            and (sprite_interpret or sprite.available(params, B)):
+        return sprite.compose_image_b(params, base_id, agent_id, adim,
+                                      interpret=sprite_interpret)
 
     def lut_select(lut, idx, pad_rows):
         n_rows = lut.shape[0] + pad_rows

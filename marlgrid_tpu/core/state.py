@@ -72,6 +72,15 @@ class EnvParams:
     scenario: str = "empty"       # 'empty' | 'cluttered' | 'doorkey' | 'goal_cycle'
     n_clutter: int = 25
     n_bonus_tiles: int = 3
+    # end the episode when any agent completes a full bonus cycle
+    # (``ClutteredGoalCycleEnv(reset_on_cycle)`` [L] — pinned reconstruction:
+    # n_bonus_tiles consecutive in-order rewarded visits = one cycle)
+    reset_on_cycle: bool = False
+    # agent spawn region (``MultiGridEnv(agent_spawn_kwargs={'top': …,
+    # 'size': …})`` [M]): static rectangle agents must spawn in; size None
+    # means the whole board. ANDed with any scenario agent mask.
+    agent_spawn_top: Tuple[int, int] = (0, 0)
+    agent_spawn_size: Tuple[int, int] = None
     # per-agent colors, as color indices (len == n_agents)
     agent_colors: Tuple[int, ...] = (0,)
     # placement rejection-sampling budget (SPEC §4)
@@ -142,6 +151,8 @@ class EnvState:
     carry_state: jax.Array      # (N,) int32
     active: jax.Array           # (N,) bool
     last_bonus: jax.Array       # (N,) int32, -1 = no tile visited yet
+    cycle_progress: jax.Array   # (N,) int32 consecutive in-order visits
+    cycles: jax.Array           # (N,) int32 completed bonus cycles
     prestige: jax.Array         # (N,) float32 (SPEC §8 display accumulator)
     accum_reward: jax.Array     # (N,) float32
     last_reward: jax.Array      # (N,) float32
@@ -164,6 +175,8 @@ def zeros_state(params: EnvParams, key: jax.Array) -> EnvState:
         carry_state=jnp.zeros((N,), i32),
         active=jnp.zeros((N,), bool),
         last_bonus=jnp.full((N,), -1, i32),
+        cycle_progress=jnp.zeros((N,), i32),
+        cycles=jnp.zeros((N,), i32),
         prestige=jnp.zeros((N,), jnp.float32),
         accum_reward=jnp.zeros((N,), jnp.float32),
         last_reward=jnp.zeros((N,), jnp.float32),

@@ -103,6 +103,19 @@ def _agent_micro_step(params: EnvParams, state: EnvState, rew, i, actions,
     r = r + jnp.where(on_bonus, bonus_r, 0.0)
     state.last_bonus = D.write_row(state.last_bonus, i,
                                    jnp.where(on_bonus & ~same, b, lb))
+    # cycle bookkeeping (``ClutteredGoalCycleEnv(reset_on_cycle)`` [L],
+    # SPEC §5): an in-order rewarded visit extends the chain, a wrong-order
+    # visit restarts it at the visited tile; n_bonus_tiles consecutive
+    # in-order visits complete one cycle.
+    prog = D.read_row(state.cycle_progress, i)
+    new_prog = jnp.where(on_bonus & (first | succ), prog + 1,
+                         jnp.where(on_bonus & ~same, 1, prog))
+    completed = on_bonus & (new_prog >= params.n_bonus_tiles)
+    state.cycle_progress = D.write_row(state.cycle_progress, i,
+                                       jnp.where(completed, 0, new_prog))
+    state.cycles = D.write_row(state.cycles, i,
+                               D.read_row(state.cycles, i)
+                               + completed.astype(jnp.int32))
 
     deact = (on_goal & (not params.respawn)) | on_lava
     state.active = D.write_row(state.active, i, active & ~deact)
@@ -194,6 +207,7 @@ def step(params: EnvParams, state: EnvState, actions):
     respawn_draws = draws[2:] if params.respawn else None
 
     rew = jnp.zeros((N,), jnp.float32)
+    pre_cycles = state.cycles
     for j in range(N):  # static unroll; sequential priority (SURVEY §3.3)
         state, rew = _agent_micro_step(params, state, rew, perm[j], actions,
                                        respawn_draws)
@@ -219,6 +233,8 @@ def step(params: EnvParams, state: EnvState, actions):
         dl = jnp.asarray(params.spawn_delay_tuple(), jnp.int32)
         alive = alive | ((dl > 0) & (dl >= state.step_count))
     done = (state.step_count >= params.max_steps) | ~alive.any()
+    if params.reset_on_cycle:
+        done = done | (state.cycles > pre_cycles).any()
     return state, rew, done
 
 
@@ -238,6 +254,7 @@ def step_autoreset(params: EnvParams, state: EnvState, actions):
     info = {
         "episode_return": jnp.where(done, stepped.accum_reward.sum(), 0.0),
         "episode_length": jnp.where(done, stepped.step_count, 0),
+        "episode_cycles": jnp.where(done, stepped.cycles.sum(), 0),
     }
     return new_state, rew, done, info
 
@@ -291,5 +308,6 @@ def _select_fresh(stepped: EnvState, rew, done, fresh: EnvState):
     info = {
         "episode_return": jnp.where(done, stepped.accum_reward.sum(-1), 0.0),
         "episode_length": jnp.where(done, stepped.step_count, 0),
+        "episode_cycles": jnp.where(done, stepped.cycles.sum(-1), 0),
     }
     return new_state, rew, done, info

@@ -87,7 +87,28 @@ def register_marl_env(env_name: Optional[str], env_class, n_agents: int,
         observation_style=observation_style,
         env_kwargs=dict(env_kwargs or {}), agent_kwargs=dict(agent_kwargs or {}),
     )
+    _register_with_gymnasium(env_name)
     return env_name
+
+
+def _register_with_gymnasium(env_id: str):
+    """Bridge the id into the real gymnasium registry so
+    ``gymnasium.make('MarlGrid-…-v0')`` works (the reference registers with
+    gym at import time — SURVEY §2.1 L4 / §3.1). The env checker and order
+    enforcement are disabled: the API is deliberately gym-classic
+    multi-agent (list obs, 4-tuple step) like the reference."""
+    try:
+        import gymnasium
+    except ImportError:  # pragma: no cover
+        return
+    if env_id in gymnasium.registry:
+        return
+    gymnasium.register(
+        id=env_id,
+        entry_point=lambda _env_id=env_id, **kw: make(_env_id, **kw),
+        disable_env_checker=True,
+        order_enforce=False,
+    )
 
 
 def make(env_id: str, seed: int = 0, **overrides) -> MultiGridEnv:

@@ -68,12 +68,20 @@ class OracleEnv:
         self.carrying = np.zeros((N, 3), np.int32)
         self.active = np.zeros(N, bool)
         self.last_bonus = np.full(N, -1, np.int32)
+        self.cycle_progress = np.zeros(N, np.int32)
+        self.cycles = np.zeros(N, np.int32)
         self.prestige = np.zeros(N, np.float32)
         self.accum_reward = np.zeros(N, np.float64)
         self.last_reward = np.zeros(N, np.float64)
         self.step_count = 0
 
         agent_mask = self._gen_grid()
+        from ..core.grid_gen import agent_spawn_region_mask
+
+        region = agent_spawn_region_mask(p)
+        if region is not None:
+            agent_mask = region if agent_mask is None \
+                else (agent_mask & region)
         for i in range(N):
             self._place_agent(i, agent_mask)
         return [self._obs(i) for i in range(N)]
@@ -173,6 +181,7 @@ class OracleEnv:
         draws = self._step_draws(self.key)
         self.key = np.asarray(draws[0])
         perm = np.asarray(draws[1])
+        pre_cycles = self.cycles.copy()
         self._respawn_draws = tuple(np.asarray(d) for d in draws[2:]) \
             if p.respawn else None
         rew = np.zeros(N, np.float64)
@@ -210,6 +219,8 @@ class OracleEnv:
         pending = any(d > 0 and d >= self.step_count for d in delays)
         done = (self.step_count >= p.max_steps) \
             or (not self.active.any() and not pending)
+        if p.reset_on_cycle and (self.cycles > pre_cycles).any():
+            done = True
         obs = [self._obs(i) for i in range(N)]
         return obs, rew.astype(np.float32), bool(done), {}
 
@@ -261,11 +272,16 @@ class OracleEnv:
             if lb < 0 or b == (lb + 1) % max(p.n_bonus_tiles, 1):
                 r += b_rew
                 self.last_bonus[i] = b
+                self.cycle_progress[i] += 1
             elif b == lb:
                 pass
             else:
                 r -= b_pen
                 self.last_bonus[i] = b
+                self.cycle_progress[i] = 1   # chain restarts at this tile
+            if self.cycle_progress[i] >= p.n_bonus_tiles:
+                self.cycle_progress[i] = 0
+                self.cycles[i] += 1
         return r
 
     def _pickup(self, i):

@@ -55,22 +55,49 @@ def _compiled(params: EnvParams):
     return reset_fn, step_fn, obs_fn, vis_fn
 
 
-class MultiGridEnv:
-    """Reference-shaped multi-agent env (SURVEY §3.1 ctor surface)."""
+try:  # subclass gymnasium.Env so gymnasium.make()/wrappers accept us
+    import gymnasium as _gymnasium
+
+    _EnvBase = _gymnasium.Env
+except ImportError:  # pragma: no cover
+    _EnvBase = object
+
+
+class MultiGridEnv(_EnvBase):
+    """Reference-shaped multi-agent env (SURVEY §3.1 ctor surface).
+
+    Registered ids also live in the real gymnasium registry
+    (``gymnasium.make('MarlGrid-…-v0')`` works), but the API shape stays
+    gym-classic like the reference: ``reset() -> [obs]``,
+    ``step(actions) -> (obs_list, rew_array, done, info)`` — per-agent
+    lists, single shared done (SURVEY §3.3)."""
 
     scenario: str = "empty"
+    metadata = {"render_modes": ["rgb_array", "human"]}
+    render_mode = None
 
     def __init__(self, agents: Optional[List[GridAgentInterface]] = None,
                  grid_size: Optional[int] = None, width: Optional[int] = None,
                  height: Optional[int] = None, max_steps: int = 100,
                  reward_decay: bool = True, seed: int = 0,
                  respawn: bool = False, ghost_mode: bool = True,
+                 agent_spawn_kwargs: Optional[dict] = None,
                  params: Optional[EnvParams] = None, **scenario_kwargs):
         if params is None:
             if grid_size is not None:
                 width = height = grid_size
             agents = agents or [GridAgentInterface()]
             fields = agents_to_params_fields(agents)
+            if agent_spawn_kwargs:
+                # reference forwards these into per-agent place_obj calls
+                # (``MultiGridEnv(agent_spawn_kwargs)`` [M]); here top/size
+                # become the static spawn rectangle on the in-graph reset
+                sk = dict(agent_spawn_kwargs)
+                fields["agent_spawn_top"] = tuple(sk.pop("top", (0, 0)))
+                size = sk.pop("size", None)
+                fields["agent_spawn_size"] = \
+                    tuple(size) if size is not None else None
+                assert not sk, f"unsupported agent_spawn_kwargs: {sk}"
             fields.update(width=width or 9, height=height or 9,
                           max_steps=max_steps, reward_decay=reward_decay,
                           respawn=respawn, ghost_mode=ghost_mode,
@@ -85,6 +112,7 @@ class MultiGridEnv:
         self._reset_fn, self._step_fn, self._obs_fn, self._vis_fn = \
             _compiled(params)
         self.state: Optional[EnvState] = None
+        self._viewer = None
         self.seed(seed)
 
     # ------------------------------------------------------------------ gym
@@ -132,7 +160,9 @@ class MultiGridEnv:
         dirs = np.asarray(self.state.agent_dir)
         out = []
         for i in range(p.n_agents):
-            d = {"pov": obs[i], "reward": float(rew[i])}
+            d = {"pov": obs[i]}
+            if p.observe_rewards:
+                d["reward"] = float(rew[i])
             if p.observe_position:
                 d["position"] = tuple(int(v) for v in pos[i])
             if p.observe_orientation:
@@ -289,8 +319,10 @@ class MultiGridEnv:
 
     def render(self, mode="rgb_array", tile_size=16, highlight=True,
                show_agent_views=False, **_):
-        """Full-board render (SURVEY §3.5). 'human' mode falls back to
-        rgb_array when no display backend is available (headless TPU hosts).
+        """Full-board render (SURVEY §3.5). ``mode='human'`` displays the
+        frame through ``rendering.SimpleImageViewer`` (``marlgrid/base.py —
+        §render`` viewer [M]; PIL window when a display exists, /tmp PNG
+        frames on headless TPU hosts) and returns the image as well.
         ``show_agent_views`` composites each agent's POV strip on the right
         (``marlgrid/base.py — §render`` [M])."""
         hm = self.agent_highlight_mask() if highlight else None
@@ -313,7 +345,16 @@ class MultiGridEnv:
                     break
                 strip[y0:y0 + side, pad:pad + side] = povs[i]
             img = np.concatenate([img, strip], axis=1)
+        if mode == "human":
+            if self._viewer is None:
+                self._viewer = rendering.SimpleImageViewer()
+            self._viewer.imshow(img)
         return img
+
+    def close(self):
+        if self._viewer is not None:
+            self._viewer.close()
+            self._viewer = None
 
 
 def env_params_for(scenario: str, grid_size: int, n_agents: int,

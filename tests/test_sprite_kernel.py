@@ -1,0 +1,85 @@
+"""Pallas sprite-composite kernel vs the XLA full-LUT image path.
+
+The kernel (ops/sprite.py) must be BIT-IDENTICAL to the fallback one-hot
+GEMM formulation (core/obs.py::all_obs_image_b force_xla=True) — same
+sprites, same occlusion blackout, same agent overlay and prestige dimming,
+same uint8 truncation. Runs the kernel in Pallas interpret mode so the
+comparison works on the CPU test harness.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from marlgrid_tpu import rendering
+from marlgrid_tpu.core import grid_gen, obs as obs_mod, step as step_mod
+from marlgrid_tpu.core.state import EnvParams, default_agent_colors
+from marlgrid_tpu.ops import sprite
+
+CONFIGS = [
+    dict(width=9, height=9, n_agents=1, scenario="empty", view_size=5),
+    dict(width=15, height=15, n_agents=3, scenario="cluttered", n_clutter=25),
+    dict(width=11, height=11, n_agents=2, scenario="doorkey"),
+    dict(width=13, height=13, n_agents=4, scenario="goal_cycle",
+         n_bonus_tiles=3),
+]
+
+
+def _rollout_states(params, B, T, seed):
+    """A batch of states after T random steps (exercises doors/pickups)."""
+    key = jax.random.PRNGKey(seed)
+    state = jax.vmap(lambda k: grid_gen.reset(params, k))(
+        jax.random.split(key, B))
+    step = jax.jit(jax.vmap(lambda s, a: step_mod.step(params, s, a)[0]))
+    rng = np.random.default_rng(seed)
+    for _ in range(T):
+        state = step(state, jnp.asarray(
+            rng.integers(0, 7, (B, params.n_agents)), jnp.int32))
+    return state
+
+
+@pytest.mark.parametrize("cfg", CONFIGS,
+                         ids=[c["scenario"] for c in CONFIGS])
+def test_sprite_kernel_matches_xla_path(cfg):
+    params = EnvParams(observation_style="image", max_steps=100,
+                       agent_colors=default_agent_colors(cfg["n_agents"]),
+                       **cfg)
+    assert sprite.base_palette(params) is not None
+    B = 16 if (16 * params.n_agents) % 16 == 0 else 16
+    state = _rollout_states(params, B, 6, seed=3)
+    # force some prestige so dim levels differ across agents
+    state.prestige = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 12, (B, params.n_agents)),
+        jnp.float32)
+    bl = jnp.asarray(rendering.base_lut(params.view_tile_size))
+    al = jnp.asarray(rendering.agent_lut(params.view_tile_size))
+    ref = obs_mod.all_obs_image_b(params, state, bl, al, force_xla=True)
+    got = obs_mod.all_obs_image_b(params, state, bl, al,
+                                  sprite_interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_sprite_kernel_hidden_types_and_offset():
+    params = EnvParams(width=11, height=11, n_agents=2, scenario="doorkey",
+                       observation_style="image", view_offset=1,
+                       hide_item_types=(4,),   # hide keys
+                       agent_colors=default_agent_colors(2))
+    state = _rollout_states(params, 16, 4, seed=9)
+    bl = jnp.asarray(rendering.base_lut(params.view_tile_size))
+    al = jnp.asarray(rendering.agent_lut(params.view_tile_size))
+    ref = obs_mod.all_obs_image_b(params, state, bl, al, force_xla=True)
+    got = obs_mod.all_obs_image_b(params, state, bl, al,
+                                  sprite_interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_palette_availability_gates():
+    params = EnvParams(width=9, height=9, n_agents=1, scenario="empty",
+                       observation_style="image",
+                       agent_colors=default_agent_colors(1))
+    # palette known for builtins; unknown scenario -> None (falls back)
+    assert sprite.base_palette(params) is not None
+    grid_gen.SCENARIOS.setdefault("nopalette", grid_gen.gen_empty)
+    grid_gen._N_EVENTS.setdefault("nopalette", lambda p: 1)
+    p2 = params.replace(scenario="nopalette")
+    assert sprite.base_palette(p2) is None

@@ -21,7 +21,8 @@ def test_vector_env_shapes():
     actions = jnp.zeros((B, 2), jnp.int32) + 2
     state, obs, rew, done, info = env.step(state, actions)
     assert rew.shape == (B, 2) and done.shape == (B,)
-    assert set(info) == {"episode_return", "episode_length"}
+    assert set(info) == {"episode_return", "episode_length",
+                         "episode_cycles"}
 
 
 def test_vector_env_matches_single(devices8):

@@ -69,6 +69,7 @@ def test_encode_and_render():
 def test_rich_observation_style():
     agents = [GridAgentInterface(color="red", view_size=5,
                                  observation_style="rich",
+                                 observe_rewards=True,
                                  observe_position=True,
                                  observe_orientation=True)]
     env = marlgrid_tpu.envs.EmptyMultiGrid(agents=agents, grid_size=9,
@@ -80,7 +81,18 @@ def test_rich_observation_style():
     obs2, rew, done, _ = env.step([2])
     assert isinstance(obs2[0]["reward"], float)
     sp = env.observation_space[0]
-    assert "position" in sp.spaces
+    assert "position" in sp.spaces and "reward" in sp.spaces
+
+    # observe_rewards=False (the default) omits the reward entry — the
+    # kwarg is honored, not just accepted (``GridAgentInterface
+    # (observe_rewards)`` [M])
+    agents2 = [GridAgentInterface(color="red", view_size=5,
+                                  observation_style="rich")]
+    env2 = marlgrid_tpu.envs.EmptyMultiGrid(agents=agents2, grid_size=9,
+                                            max_steps=10, seed=0)
+    d2 = env2.reset()[0]
+    assert set(d2) == {"pov"}
+    assert "reward" not in env2.observation_space[0].spaces
 
 
 def test_env_from_config():
