@@ -132,20 +132,30 @@ class IndependentLearners(list):
 
 
 def agents_to_params_fields(agents: List[GridAgentInterface]) -> dict:
-    """Fold a homogeneous agent list into EnvParams fields.
+    """Fold an agent list into EnvParams fields.
 
-    The engine compiles one static observation config for all agents
-    (static shapes — SURVEY §7.3 item 5); heterogeneous per-agent view
-    configs are not supported (colors may differ).
+    ``view_size`` / ``view_tile_size`` / ``observation_style`` may differ
+    per agent (the reference builds one GridAgentInterface per agent —
+    SURVEY §2.1); the host wrapper compiles one obs program per distinct
+    config group. The remaining obs flags must still be homogeneous (one
+    static engine config — SURVEY §7.3 item 5).
     """
     a0 = agents[0]
     for a in agents[1:]:
-        for f in ("view_size", "view_tile_size", "view_offset",
-                  "observation_style", "observe_rewards", "observe_position",
+        for f in ("view_offset", "observe_rewards", "observe_position",
                   "observe_orientation", "see_through_walls",
                   "hide_item_types", "prestige_beta", "prestige_scale"):
             assert getattr(a, f) == getattr(a0, f), \
                 f"heterogeneous agent config not supported: {f}"
+    hetero = dict()
+    if any(a.view_size != a0.view_size for a in agents):
+        hetero["agent_view_sizes"] = tuple(a.view_size for a in agents)
+    if any(a.view_tile_size != a0.view_tile_size for a in agents):
+        hetero["agent_view_tile_sizes"] = tuple(a.view_tile_size
+                                                for a in agents)
+    if any(a.observation_style != a0.observation_style for a in agents):
+        hetero["agent_obs_styles"] = tuple(a.observation_style
+                                           for a in agents)
     return dict(
         prestige_beta=a0.prestige_beta,
         prestige_scale=a0.prestige_scale,
@@ -156,6 +166,7 @@ def agents_to_params_fields(agents: List[GridAgentInterface]) -> dict:
         view_tile_size=a0.view_tile_size,
         view_offset=a0.view_offset,
         observation_style=a0.observation_style,
+        **hetero,
         observe_rewards=a0.observe_rewards,
         observe_position=a0.observe_position,
         observe_orientation=a0.observe_orientation,

@@ -45,6 +45,17 @@ class EnvParams:
     # type indices hidden from observations (visual-only: occlusion still
     # honors the true cell; ``GridAgentInterface(hide_item_types=…)`` [M])
     hide_item_types: Tuple[int, ...] = ()
+    # heterogeneous per-agent observation configs (the reference builds one
+    # GridAgentInterface per agent with independent view_size /
+    # observation_style — ``marlgrid/agents.py — §GridAgentInterface``,
+    # SURVEY §2.1): empty tuples mean all agents share the fields above;
+    # otherwise len == n_agents and agent i observes with its own config.
+    # The host wrapper compiles one obs program per distinct config group
+    # (static shapes per group); the batched VectorEnv/training APIs
+    # require homogeneous configs.
+    agent_view_sizes: Tuple[int, ...] = ()
+    agent_view_tile_sizes: Tuple[int, ...] = ()
+    agent_obs_styles: Tuple[str, ...] = ()
     # prestige display (``GridAgentInterface(prestige_beta/prestige_scale)``
     # [M]): per-step multiplicative decay of the prestige accumulator and the
     # scale mapping prestige to sprite dim levels (SPEC §8)
@@ -97,6 +108,15 @@ class EnvParams:
                 f"spawn_delays {self.spawn_delays} must be empty or have "
                 f"n_agents={self.n_agents} entries"
             )
+        for name in ("agent_view_sizes", "agent_view_tile_sizes",
+                     "agent_obs_styles"):
+            tab = getattr(self, name)
+            assert not tab or len(tab) == self.n_agents, (
+                f"{name} {tab} must be empty or have n_agents="
+                f"{self.n_agents} entries"
+            )
+        assert all(v % 2 == 1 for v in self.agent_view_sizes), \
+            "all agent view sizes must be odd"
         for name in ("bonus_rewards", "bonus_penalties"):
             tab = getattr(self, name)
             assert not tab or len(tab) >= self.n_bonus_tiles, (
@@ -113,6 +133,34 @@ class EnvParams:
     @property
     def has_spawn_delays(self) -> bool:
         return any(d > 0 for d in self.spawn_delays)
+
+    # --- heterogeneous per-agent obs accessors ------------------------------
+    def agent_view_size(self, i: int) -> int:
+        return self.agent_view_sizes[i] if self.agent_view_sizes \
+            else self.view_size
+
+    def agent_view_tile_size(self, i: int) -> int:
+        return self.agent_view_tile_sizes[i] if self.agent_view_tile_sizes \
+            else self.view_tile_size
+
+    def agent_obs_style(self, i: int) -> str:
+        return self.agent_obs_styles[i] if self.agent_obs_styles \
+            else self.observation_style
+
+    @property
+    def has_hetero_obs(self) -> bool:
+        return bool(self.agent_view_sizes or self.agent_view_tile_sizes
+                    or self.agent_obs_styles)
+
+    def agent_obs_params(self, i: int) -> "EnvParams":
+        """Homogeneous params as seen by agent i's obs program — the
+        per-group compile key for the host wrapper."""
+        return self.replace(
+            view_size=self.agent_view_size(i),
+            view_tile_size=self.agent_view_tile_size(i),
+            observation_style=self.agent_obs_style(i),
+            agent_view_sizes=(), agent_view_tile_sizes=(),
+            agent_obs_styles=())
 
     def replace(self, **kw) -> "EnvParams":
         return dataclasses.replace(self, **kw)

@@ -316,12 +316,17 @@ class OracleEnv:
             self.grid[fx, fy] = (ct, cc, 0)
 
     # ----------------------------------------------------------- observations
+    def _vs(self, i):
+        """Agent i's view size (heterogeneous configs — SURVEY §2.1)."""
+        return self.p.agent_view_size(i)
+
     def view_cell(self, i, vi, vj):
         """World cell shown at view coord (vi, vj) — SPEC §7 geometry,
         computed per cell with the up/right basis (independent of the
         engine's precomputed offset tables)."""
         p = self.p
-        c, aj = p.view_size // 2, p.view_size - 1 - p.view_offset
+        vs = self._vs(i)
+        c, aj = vs // 2, vs - 1 - p.view_offset
         d = int(self.agent_dir[i])
         up, right = C.DIR_VEC[d], C.DIR_VEC[(d + 1) % 4]
         w = self.agent_pos[i] + (aj - vj) * up + (vi - c) * right
@@ -330,7 +335,7 @@ class OracleEnv:
     def view_grid(self, i):
         """(vs, vs, 3) symbolic view + per-cell agent overlay info."""
         p = self.p
-        vs = p.view_size
+        vs = self._vs(i)
         grey = C.COLOR_TO_IDX["grey"]
         cells = np.zeros((vs, vs, 3), np.int32)
         agent = np.full((vs, vs), -1, np.int32)  # observed agent index
@@ -352,7 +357,7 @@ class OracleEnv:
     def process_vis(self, transparent):
         """Literal minigrid occlusion sweep (SPEC §7, SURVEY §3.4 [H])."""
         p = self.p
-        vs = p.view_size
+        vs = transparent.shape[0]
         mask = np.zeros((vs, vs), bool)
         mask[vs // 2, vs - 1 - p.view_offset] = True
         for j in range(vs - 1, -1, -1):
@@ -372,12 +377,13 @@ class OracleEnv:
 
     def vis_mask(self, i):
         cells, _ = self.view_grid(i)
+        vs = self._vs(i)
         if self.p.see_through_walls:
-            return np.ones((self.p.view_size,) * 2, bool)
+            return np.ones((vs,) * 2, bool)
         transparent = np.array(
             [[C.see_behind(int(cells[vi, vj, 0]), int(cells[vi, vj, 2]))
-              for vj in range(self.p.view_size)]
-             for vi in range(self.p.view_size)])
+              for vj in range(vs)]
+             for vi in range(vs)])
         return self.process_vis(transparent)
 
     def obs_encode(self, i):
@@ -388,8 +394,8 @@ class OracleEnv:
         for t in p.hide_item_types:           # visual-only (SPEC)
             out[out[..., 0] == t] = 0
         d = int(self.agent_dir[i])
-        for vi in range(p.view_size):
-            for vj in range(p.view_size):
+        for vi in range(self._vs(i)):
+            for vj in range(self._vs(i)):
                 j = agent[vi, vj]
                 if j >= 0:
                     out[vi, vj] = (C.AGENT, p.agent_colors[j],
@@ -403,7 +409,7 @@ class OracleEnv:
         directly (independent of the engine's LUT-gather path)."""
         from .. import rendering as R
         p = self.p
-        vs, T = p.view_size, p.view_tile_size
+        vs, T = self._vs(i), p.agent_view_tile_size(i)
         cells, agent = self.view_grid(i)
         vis = self.vis_mask(i)
         d = int(self.agent_dir[i])
@@ -434,12 +440,15 @@ class OracleEnv:
 
     def _obs(self, i):
         p = self.p
-        if p.observation_style == "encode":
+        style = p.agent_obs_style(i)
+        if style == "encode":
             return self.obs_encode(i)
         img = self.obs_image(i)
-        if p.observation_style == "image":
+        if style == "image":
             return img
-        out = {"pov": img, "reward": float(self.last_reward[i])}
+        out = {"pov": img}
+        if p.observe_rewards:
+            out["reward"] = float(self.last_reward[i])
         if p.observe_position:
             out["position"] = tuple(int(v) for v in self.agent_pos[i])
         if p.observe_orientation:

@@ -32,6 +32,10 @@ class VectorEnv:
     def __init__(self, params: EnvParams, n_envs: int,
                  sharding: Optional[jax.sharding.NamedSharding] = None,
                  auto_reset: bool = True):
+        assert not params.has_hetero_obs, (
+            "VectorEnv requires homogeneous per-agent obs configs (one "
+            "static obs shape per env); heterogeneous view configs are a "
+            "host-wrapper feature (MultiGridEnv)")
         self.params = params
         self.n_envs = n_envs
         self.auto_reset = auto_reset

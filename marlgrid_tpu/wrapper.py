@@ -111,6 +111,16 @@ class MultiGridEnv(_EnvBase):
         self.num_agents = params.n_agents
         self._reset_fn, self._step_fn, self._obs_fn, self._vis_fn = \
             _compiled(params)
+        # heterogeneous per-agent obs: one compiled group per distinct
+        # (view_size, view_tile_size, observation_style) — SURVEY §2.1
+        self._obs_groups = None
+        if params.has_hetero_obs:
+            groups = {}
+            for i in range(params.n_agents):
+                gp = params.agent_obs_params(i)
+                groups.setdefault(gp, []).append(i)
+            self._obs_groups = [(idxs, _compiled(gp)) for gp, idxs
+                                in groups.items()]
         self.state: Optional[EnvState] = None
         self._viewer = None
         self.seed(seed)
@@ -152,15 +162,27 @@ class MultiGridEnv(_EnvBase):
     # ------------------------------------------------------------- obs/render
     def _host_obs(self):
         p = self.params
-        obs = np.asarray(self._obs_fn(self.state))
-        if p.observation_style in ("image", "encode"):
-            return [obs[i] for i in range(p.n_agents)]
+        if self._obs_groups is None:
+            obs = np.asarray(self._obs_fn(self.state))
+            per_agent = [obs[i] for i in range(p.n_agents)]
+        else:
+            per_agent = [None] * p.n_agents
+            for idxs, fns in self._obs_groups:
+                group_obs = np.asarray(fns[2](self.state))
+                for i in idxs:
+                    per_agent[i] = group_obs[i]
+        if all(p.agent_obs_style(i) in ("image", "encode")
+               for i in range(p.n_agents)):
+            return per_agent
         rew = np.asarray(self.state.last_reward)
         pos = np.asarray(self.state.agent_pos)
         dirs = np.asarray(self.state.agent_dir)
         out = []
         for i in range(p.n_agents):
-            d = {"pov": obs[i]}
+            if p.agent_obs_style(i) != "rich":
+                out.append(per_agent[i])
+                continue
+            d = {"pov": per_agent[i]}
             if p.observe_rewards:
                 d["reward"] = float(rew[i])
             if p.observe_position:
@@ -312,9 +334,14 @@ class MultiGridEnv(_EnvBase):
     def agent_highlight_mask(self) -> np.ndarray:
         """(W, H) bool union of all agents' visible cells (for render)."""
         p = self.params
-        wx, wy, vis = (np.asarray(v) for v in self._vis_fn(self.state))
         mask = np.zeros((p.width, p.height), bool)
-        mask[wx[vis], wy[vis]] = True
+        groups = self._obs_groups or [(range(p.n_agents),
+                                       (None, None, None, self._vis_fn))]
+        for idxs, fns in groups:
+            wx, wy, vis = (np.asarray(v) for v in fns[3](self.state))
+            for i in idxs:
+                m = vis[i]
+                mask[wx[i][m], wy[i][m]] = True
         return mask
 
     def render(self, mode="rgb_array", tile_size=16, highlight=True,
