@@ -54,15 +54,25 @@ def engine_steps_per_sec(args, params):
     @jax.jit
     def rollout(state, key):
         # one fresh board per step, generated vmapped OUTSIDE the scan
-        fresh_keys = jax.random.split(jax.random.fold_in(key, 0xF), T)
-        fresh = jax.vmap(lambda k: grid_gen.reset(params, k))(fresh_keys)
+        # (shared-board autoreset; --independent-resets buys per-env fresh
+        # boards inside the step at the cost of B resets per step)
+        if not args.independent_resets:
+            fresh_keys = jax.random.split(jax.random.fold_in(key, 0xF), T)
+            fresh = jax.vmap(lambda k: grid_gen.reset(params, k))(fresh_keys)
+        else:
+            fresh = jnp.zeros((T,))   # unused scan carrier
 
         def body(carry, fresh_t):
             state, key, acc = carry
             key, ak = jax.random.split(key)
             a = jax.random.randint(ak, (B, params.n_agents), 0, 7)
-            state, rew, done, _ = step_mod.step_autoreset_with_fresh(
-                params, state, a, fresh_t)
+            if args.independent_resets:
+                state, rew, done, _ = jax.vmap(
+                    lambda s, aa: step_mod.step_autoreset(params, s, aa)
+                )(state, a)
+            else:
+                state, rew, done, _ = step_mod.step_autoreset_with_fresh(
+                    params, state, a, fresh_t)
             obs = obs_mod.all_agent_obs_b(params, state, *luts, bminor=True)
             acc = acc + rew.sum() + obs.sum(dtype=jnp.float32) / obs.size
             return (state, key, acc), None
@@ -133,6 +143,9 @@ def main(argv=None):
     p.add_argument("--obs", default="encode", choices=["encode", "image"])
     p.add_argument("--baseline-steps", type=int, default=300)
     p.add_argument("--skip-baseline", action="store_true")
+    p.add_argument("--independent-resets", action="store_true",
+                   help="per-env fresh boards on autoreset (vs the default "
+                        "shared-board variant); quantifies the tradeoff")
     p.add_argument("--trace", default=None,
                    help="profile one rep into this dir + print hotspots")
     p.add_argument("--compile-cache", default=None,

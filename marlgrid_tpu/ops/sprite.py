@@ -164,7 +164,10 @@ def _kernel(l1_ref, l2_ref, r1_ref, r2_ref, o_ref):
                        preferred_element_type=jnp.float32)
         a = out1 >= _ALPHA_FLAG
         base = out1 - jnp.where(a, _ALPHA_FLAG, 0.0)
-        o_ref[:, vj, :] = jnp.where(a, out2, base).astype(jnp.uint8)
+        # Mosaic has no direct f32->uint8 cast; truncate via int32 (values
+        # are in [0, 256) so the two-step cast equals XLA's astype(uint8))
+        val = jnp.where(a, out2, base).astype(jnp.int32)
+        o_ref[:, vj, :] = val.astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("vs", "lanes", "bc",

@@ -31,7 +31,7 @@ class VectorEnv:
 
     def __init__(self, params: EnvParams, n_envs: int,
                  sharding: Optional[jax.sharding.NamedSharding] = None,
-                 auto_reset: bool = True):
+                 auto_reset: bool = True, independent_resets: bool = False):
         assert not params.has_hetero_obs, (
             "VectorEnv requires homogeneous per-agent obs configs (one "
             "static obs shape per env); heterogeneous view configs are a "
@@ -56,7 +56,18 @@ class VectorEnv:
             return state, obs
 
         def _step(state, actions):
-            if auto_reset:
+            if auto_reset and independent_resets:
+                # per-env fresh boards (step_autoreset): every env that
+                # finishes gets its OWN board, at the cost of generating B
+                # resets per step of which only ~B/max_steps are used. The
+                # default shared-board variant generates one fresh board per
+                # step and gives it to every env finishing that step
+                # (documented tradeoff — see step_autoreset_batch; bench.py
+                # --independent-resets quantifies the gap).
+                state, rew, done, info = jax.vmap(
+                    lambda s, a: step_mod.step_autoreset(params, s, a)
+                )(state, actions)
+            elif auto_reset:
                 state, rew, done, info = step_mod.step_autoreset_batch(
                     params, state, actions)
             else:

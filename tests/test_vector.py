@@ -25,6 +25,22 @@ def test_vector_env_shapes():
                          "episode_cycles"}
 
 
+def test_vector_env_independent_resets():
+    """independent_resets=True gives every finishing env its OWN fresh
+    board (step_autoreset), instead of the shared per-step board."""
+    B = 8
+    params = PARAMS.replace(max_steps=3)
+    env = VectorEnv(params, n_envs=B, independent_resets=True)
+    state, obs = env.reset(jax.random.PRNGKey(1))
+    for _ in range(3):   # all envs finish simultaneously at max_steps
+        state, obs, rew, done, info = env.step(
+            state, jnp.zeros((B, 2), jnp.int32) + 6)   # 'done' no-ops
+    assert bool(done.all())
+    boards = np.asarray(state.grid_type)
+    distinct = {boards[b].tobytes() for b in range(B)}
+    assert len(distinct) > 1, "fresh boards must differ across envs"
+
+
 def test_vector_env_matches_single(devices8):
     """Batched trajectories equal per-env trajectories (vmap correctness)."""
     B = 4
