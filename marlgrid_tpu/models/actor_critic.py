@@ -80,11 +80,22 @@ class ActorCritic(nn.Module):
     @nn.compact
     def __call__(self, obs):  # obs: (..., vs, vs, 3) int32
         cfg = self.cfg
-        if getattr(cfg, "torso", "mlp") == "cnn":
+        torso = getattr(cfg, "torso", "mlp")
+        if torso == "cnn":
             x = onehot_features(obs, cfg.dtype)
             for ch in cfg.channels:
                 x = nn.Conv(ch, (3, 3), dtype=cfg.dtype)(x)
                 x = nn.relu(x)
+            x = x.reshape(*x.shape[:-3], -1)
+        elif torso == "cnn_image":
+            # rendered uint8 POV images (vs*T, vs*T, 3): Nature-CNN-style
+            # strided convs; bf16 throughout so the convs run on the MXU
+            x = obs.astype(cfg.dtype) / jnp.asarray(255.0, cfg.dtype)
+            x = nn.relu(nn.Conv(32, (8, 8), strides=(4, 4),
+                                dtype=cfg.dtype)(x))
+            x = nn.relu(nn.Conv(64, (4, 4), strides=(2, 2),
+                                dtype=cfg.dtype)(x))
+            x = nn.relu(nn.Conv(64, (3, 3), dtype=cfg.dtype)(x))
             x = x.reshape(*x.shape[:-3], -1)
         else:
             x = nn.relu(OneHotEmbed(cfg.hidden, cfg.dtype,

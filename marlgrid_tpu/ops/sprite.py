@@ -153,47 +153,80 @@ def _build_rhs(pal, colors, vs: int, T: int):
 # Kernel
 # --------------------------------------------------------------------------
 
-def _kernel(l1_ref, l2_ref, r1_ref, r2_ref, o_ref):
-    # one MXU pass pair per view row vj (static unroll over vs); the
-    # output block's trailing (vs, lanes) dims are full-size as Mosaic
-    # requires, so each vj writes its pixel-row stripe in place
-    for vj in range(o_ref.shape[1]):
-        out1 = jnp.dot(l1_ref[vj], r1_ref[:],
-                       preferred_element_type=jnp.float32)
-        out2 = jnp.dot(l2_ref[vj], r2_ref[:],
-                       preferred_element_type=jnp.float32)
-        a = out1 >= _ALPHA_FLAG
-        base = out1 - jnp.where(a, _ALPHA_FLAG, 0.0)
-        # Mosaic has no direct f32->uint8 cast; truncate via int32 (values
-        # are in [0, 256) so the two-step cast equals XLA's astype(uint8))
-        val = jnp.where(a, out2, base).astype(jnp.int32)
-        o_ref[:, vj, :] = val.astype(jnp.uint8)
+def _row_u8(l1, l2, r1, r2):
+    """One view row's composited pixel stripe: (bc, lanes) uint8.
+
+    All 2D vector ops (Mosaic rejects 3D middle-index stores and 2D->3D
+    shape casts). f32->uint8 goes via int32 (no direct lowering); values
+    are in [0, 256) so the two-step cast equals XLA's astype(uint8).
+    """
+    out1 = jnp.dot(l1, r1, preferred_element_type=jnp.float32)
+    out2 = jnp.dot(l2, r2, preferred_element_type=jnp.float32)
+    a = out1 >= _ALPHA_FLAG
+    base = out1 - jnp.where(a, _ALPHA_FLAG, 0.0)
+    return jnp.where(a, out2, base).astype(jnp.int32).astype(jnp.uint8)
+
+
+def _kernel_concat(l1_ref, l2_ref, r1_ref, r2_ref, o_ref):
+    # out block (bc, vs*lanes): per-vj stripes lane-concatenated — the
+    # output array (M, vs*lanes) IS the final image layout (free reshape)
+    vs = l1_ref.shape[0]
+    rows = [_row_u8(l1_ref[vj], l2_ref[vj], r1_ref[:], r2_ref[:])
+            for vj in range(vs)]
+    o_ref[:] = jnp.concatenate(rows, axis=1)
+
+
+def _kernel_vjmajor(l1_ref, l2_ref, r1_ref, r2_ref, o_ref):
+    # out block (1, bc, lanes) at (vj, i): leading-dim index only
+    o_ref[0] = _row_u8(l1_ref[0], l2_ref[0], r1_ref[:], r2_ref[:])
 
 
 @functools.partial(jax.jit, static_argnames=("vs", "lanes", "bc",
-                                             "interpret"))
+                                             "variant", "interpret"))
 def _compose(lhs1, lhs2, rhs1, rhs2, vs: int, lanes: int, bc: int,
-             interpret: bool = False):
-    """lhs*: (vs, M, _K) bf16 -> (M, vs, lanes) uint8 (M = B*N)."""
+             variant: str = "concat", interpret: bool = False):
+    """lhs*: (vs, M, _K) bf16 -> (M, vs*lanes) uint8 (M = B*N)."""
     M = lhs1.shape[1]
-    return pl.pallas_call(
-        _kernel,
-        grid=(M // bc,),
+    if variant == "concat":
+        return pl.pallas_call(
+            _kernel_concat,
+            grid=(M // bc,),
+            in_specs=[
+                pl.BlockSpec((vs, bc, _K), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((vs, bc, _K), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_K, lanes), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_K, lanes), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bc, vs * lanes), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((M, vs * lanes), jnp.uint8),
+            interpret=interpret,
+        )(lhs1, lhs2, rhs1, rhs2)
+    # 'vjmajor': per-(vj, i) grid; the vj-major output needs one XLA
+    # transpose afterwards (fallback when lane-concat fails to lower)
+    out = pl.pallas_call(
+        _kernel_vjmajor,
+        grid=(vs, M // bc),
         in_specs=[
-            pl.BlockSpec((vs, bc, _K), lambda i: (0, i, 0),
+            pl.BlockSpec((1, bc, _K), lambda vj, i: (vj, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((vs, bc, _K), lambda i: (0, i, 0),
+            pl.BlockSpec((1, bc, _K), lambda vj, i: (vj, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_K, lanes), lambda i: (0, 0),
+            pl.BlockSpec((_K, lanes), lambda vj, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_K, lanes), lambda i: (0, 0),
+            pl.BlockSpec((_K, lanes), lambda vj, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bc, vs, lanes), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, bc, lanes), lambda vj, i: (vj, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, vs, lanes), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((vs, M, lanes), jnp.uint8),
         interpret=interpret,
     )(lhs1, lhs2, rhs1, rhs2)
+    return out.transpose(1, 0, 2).reshape(M, vs * lanes)
 
 
 # --------------------------------------------------------------------------
@@ -258,6 +291,9 @@ def compose_image_b(params, base_id, agent_id, adim, interpret=False):
     lhs2 = oh2.sum(2)
 
     rhs1, rhs2 = _build_rhs(pal, colors, vs, T)
+    import os
+
+    variant = os.environ.get("MARLGRID_SPRITE_VARIANT", "concat")
     out = _compose(lhs1, lhs2, rhs1, rhs2, vs, lanes, bc,
-                   interpret=interpret)                  # (B*N, vs, lanes)
+                   variant=variant, interpret=interpret)  # (B*N, vs*lanes)
     return out.reshape(B, N, vs * T, vs * T, 3)

@@ -42,11 +42,19 @@ class PPOConfig:
     dtype: Any = jnp.bfloat16  # MXU-friendly compute dtype
 
 
+def obs_spec(env_params: EnvParams):
+    """(shape, dtype) of one agent's observation for the learner."""
+    if env_params.observation_style == "image":
+        side = env_params.view_size * env_params.view_tile_size
+        return (side, side, 3), jnp.uint8
+    return (env_params.view_size, env_params.view_size, 3), jnp.int32
+
+
 def init_state(env_params: EnvParams, cfg: PPOConfig, key):
     """(net, params, opt, opt_state) for the shared policy."""
     net = ActorCritic(cfg)
-    obs_shape = (env_params.view_size, env_params.view_size, 3)
-    params = net.init(key, jnp.zeros((1,) + obs_shape, jnp.int32))
+    obs_shape, obs_dtype = obs_spec(env_params)
+    params = net.init(key, jnp.zeros((1,) + obs_shape, obs_dtype))
     tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
                      optax.adam(cfg.lr))
     return net, params, tx, tx.init(params)
@@ -82,9 +90,16 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
     'data' axis; GSPMD turns the gradient mean into a psum over ICI.
     """
     B, T, N = cfg.n_envs, cfg.rollout_len, env_params.n_agents
+    if env_params.observation_style == "image":
+        from .. import rendering
+
+        luts = (jnp.asarray(rendering.base_lut(env_params.view_tile_size)),
+                jnp.asarray(rendering.agent_lut(env_params.view_tile_size)))
+    else:
+        luts = ()
 
     def obs_of(state):
-        return obs_mod.all_agent_obs_b(env_params, state)
+        return obs_mod.all_agent_obs_b(env_params, state, *luts)
 
     def constrain(tree):
         if mesh is None:
@@ -123,8 +138,8 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
         return env_state, key, traj, last_value
 
     def loss_fn(params, batch):
-        vs = env_params.view_size
-        obs = batch["obs"].astype(jnp.int32).reshape(-1, vs, vs, 3)
+        shape, dtype = obs_spec(env_params)
+        obs = batch["obs"].astype(dtype).reshape((-1,) + shape)
         logits, value = net.apply(params, obs)
         logp = jax.nn.log_softmax(logits)
         logp_a = jnp.take_along_axis(logp, batch["act"][..., None],
@@ -159,24 +174,40 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
             ret=ret.reshape(T * B * N),
         )
         n = T * B * N
-        mb = n // cfg.n_minibatches
+        # Block-granular shuffle: permuting G contiguous row-blocks instead
+        # of n single rows turns the per-epoch minibatch gather of the
+        # whole ~600 MB trajectory from a per-row random gather (serialized
+        # on TPU — it dominated the update step) into large contiguous
+        # DMAs. A minibatch is then a random set of (timestep, env-range)
+        # blocks — the standard granularity for device-resident PPO.
+        G = 1   # largest power-of-2 divisor of n, capped at 8192 blocks
+        while G * 2 <= 8192 and n % (G * 2) == 0:
+            G *= 2
+        if G % cfg.n_minibatches:
+            G = cfg.n_minibatches
+        assert n % G == 0 and G % cfg.n_minibatches == 0, (
+            f"trajectory rows n={n} not divisible into shuffle blocks for "
+            f"n_minibatches={cfg.n_minibatches}")
+        rows = n // G
+        blocked = jax.tree.map(
+            lambda x: x.reshape((G, rows) + x.shape[1:]), flat)
 
         def epoch(carry, _):
             params, opt_state, key = carry
             key, pk = jax.random.split(key)
-            perm = jax.random.permutation(pk, n)
+            perm = jax.random.permutation(pk, G)
 
             def minibatch(carry, idx):
                 params, opt_state = carry
-                batch = jax.tree.map(lambda x: x[idx], flat)
+                batch = jax.tree.map(
+                    lambda x: x[idx].reshape((-1,) + x.shape[2:]), blocked)
                 (l, aux), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(params, batch)
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), (l, aux)
 
-            idxs = perm[:mb * cfg.n_minibatches].reshape(
-                cfg.n_minibatches, mb)
+            idxs = perm.reshape(cfg.n_minibatches, G // cfg.n_minibatches)
             (params, opt_state), (ls, auxs) = jax.lax.scan(
                 minibatch, (params, opt_state), idxs)
             return (params, opt_state, key), (ls, auxs)

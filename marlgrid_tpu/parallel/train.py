@@ -34,6 +34,14 @@ def parse_args(argv=None):
     p.add_argument("--rollout", type=int, default=64)
     p.add_argument("--iters", type=int, default=50)
     p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--obs", default="encode", choices=["encode", "image"],
+                   help="observation style fed to the learner")
+    p.add_argument("--torso", default=None,
+                   choices=["mlp", "cnn", "cnn_image"],
+                   help="policy torso (default: mlp for encode, "
+                        "cnn_image for image obs)")
+    p.add_argument("--epochs", type=int, default=2)
+    p.add_argument("--minibatches", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--model-shards", type=int, default=1)
     p.add_argument("--metrics", default=None, help="JSONL metrics path")
@@ -64,11 +72,13 @@ def main(argv=None):
     ep = EnvParams(
         width=args.grid_size, height=args.grid_size, n_agents=args.agents,
         scenario=args.scenario, max_steps=args.max_steps,
-        view_size=args.view_size, observation_style="encode",
+        view_size=args.view_size, observation_style=args.obs,
         reward_decay=args.scenario != "goal_cycle",
         agent_colors=default_agent_colors(args.agents))
+    torso = args.torso or ("cnn_image" if args.obs == "image" else "mlp")
     cfg = ppo.PPOConfig(n_envs=args.envs, rollout_len=args.rollout,
-                        lr=args.lr)
+                        lr=args.lr, torso=torso, n_epochs=args.epochs,
+                        n_minibatches=args.minibatches)
     mesh = make_mesh(n_model=args.model_shards)
 
     key = jax.random.PRNGKey(args.seed)
