@@ -80,7 +80,7 @@ def _gae(rew, value, done, last_value, gamma, lam):
 
 
 def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
-                    tx, mesh=None):
+                    tx, mesh=None, axis=None, n_shards=1):
     """Build the fused rollout+update step: ONE jitted program.
 
     fn(params, opt_state, env_state, key) ->
@@ -88,8 +88,14 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
 
     When ``mesh`` is given, the env batch is sharding-constrained over the
     'data' axis; GSPMD turns the gradient mean into a psum over ICI.
+
+    ``axis``/``n_shards`` are used by the shard_map variant
+    (``make_train_step_shard_map``): the returned fn then operates on the
+    LOCAL env shard (B = cfg.n_envs // n_shards) with explicit
+    ``lax.pmean`` collectives over ``axis`` for gradients, advantage
+    normalization statistics, and metrics.
     """
-    B, T, N = cfg.n_envs, cfg.rollout_len, env_params.n_agents
+    B, T, N = cfg.n_envs // n_shards, cfg.rollout_len, env_params.n_agents
     if env_params.observation_style == "image":
         from .. import rendering
 
@@ -115,7 +121,15 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
             env_state, obs, key = carry
             key, ak = jax.random.split(key)
             logits, value = net.apply(params, obs)      # (B, N, A), (B, N)
-            a = jax.random.categorical(ak, logits)      # (B, N)
+            if axis is None:
+                a = jax.random.categorical(ak, logits)  # (B, N)
+            else:
+                # per-env action keys derived from the GLOBAL env index, so
+                # the sampled stream is independent of how the batch is
+                # sharded (shard_map variant equivalence)
+                env_ids = jax.lax.axis_index(axis) * B + jnp.arange(B)
+                akeys = jax.vmap(jax.random.fold_in, (None, 0))(ak, env_ids)
+                a = jax.vmap(jax.random.categorical)(akeys, logits)
             logp = jax.nn.log_softmax(logits)
             logp_a = jnp.take_along_axis(logp, a[..., None], -1)[..., 0]
             env_state, rew, done, info = step_mod.step_autoreset_batch(
@@ -129,7 +143,8 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
             tr = dict(obs=obs.reshape(B * N, -1).astype(jnp.uint8),
                       act=a, logp=logp_a, val=value, rew=rew,
                       done=done, ep_ret=info["episode_return"],
-                      ep_len=info["episode_length"])
+                      ep_len=info["episode_length"],
+                      ep_cyc=info["episode_cycles"])
             return (env_state, nobs, key), tr
 
         (env_state, last_obs, key), traj = jax.lax.scan(
@@ -146,7 +161,14 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
                                      -1)[..., 0]
         ratio = jnp.exp(logp_a - batch["logp"])
         adv = batch["adv"]
-        adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+        if axis is None:
+            adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+        else:
+            # advantage statistics over the GLOBAL minibatch: explicit
+            # cross-shard pmean instead of GSPMD-inferred reductions
+            m = jax.lax.pmean(adv.mean(), axis)
+            var = jax.lax.pmean(((adv - m) ** 2).mean(), axis)
+            adv = (adv - m) / (jnp.sqrt(var) + 1e-8)
         pg = -jnp.minimum(
             ratio * adv,
             jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv).mean()
@@ -203,6 +225,11 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
                     lambda x: x[idx].reshape((-1,) + x.shape[2:]), blocked)
                 (l, aux), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(params, batch)
+                if axis is not None:
+                    # the data-parallel gradient all-reduce, written out
+                    grads = jax.lax.pmean(grads, axis)
+                    l = jax.lax.pmean(l, axis)
+                    aux = jax.lax.pmean(aux, axis)
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), (l, aux)
@@ -222,19 +249,53 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
         env_state, key, traj, last_value = rollout(params, env_state, key)
         params, opt_state, metrics = update(params, opt_state, traj,
                                             last_value, key)
-        done_f = traj["done"].astype(jnp.float32)
-        n_eps = done_f.sum()
+        n_eps = traj["done"].astype(jnp.float32).sum()
+        ep_ret = traj["ep_ret"].sum()
+        ep_len = traj["ep_len"].astype(jnp.float32).sum()
+        ep_cyc = traj["ep_cyc"].astype(jnp.float32).sum()
+        if axis is not None:
+            n_eps, ep_ret, ep_len, ep_cyc = (
+                jax.lax.psum(v, axis) for v in (n_eps, ep_ret, ep_len,
+                                                ep_cyc))
         metrics["episode_return"] = jnp.where(
-            n_eps > 0, traj["ep_ret"].sum() / jnp.maximum(n_eps, 1), 0.0)
+            n_eps > 0, ep_ret / jnp.maximum(n_eps, 1), 0.0)
         metrics["episode_length"] = jnp.where(
-            n_eps > 0,
-            traj["ep_len"].astype(jnp.float32).sum()
-            / jnp.maximum(n_eps, 1), 0.0)
+            n_eps > 0, ep_len / jnp.maximum(n_eps, 1), 0.0)
+        metrics["episode_cycles"] = jnp.where(
+            n_eps > 0, ep_cyc / jnp.maximum(n_eps, 1), 0.0)
         metrics["n_episodes"] = n_eps
         key = jax.random.fold_in(key, 1)
         return params, opt_state, env_state, key, metrics
 
+    if axis is not None:
+        return train_step   # raw per-shard fn; shard_map-wrapped by caller
     return jax.jit(train_step, donate_argnums=(0, 1, 2))
+
+
+def make_train_step_shard_map(env_params: EnvParams, cfg: PPOConfig, net,
+                              tx, mesh):
+    """Explicit-collective variant of ``make_train_step`` (SURVEY §2.3
+    multi-host second tier): the env batch and trajectories stay LOCAL to
+    each 'data' shard under ``shard_map``; gradients, advantage statistics
+    and episode metrics cross shards through hand-written ``lax.pmean`` /
+    ``psum`` collectives instead of GSPMD-inferred ones. Action sampling is
+    keyed per global env index, so the computation is independent of the
+    shard count (tested: 8-shard == 1-shard on the virtual CPU mesh)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec
+
+    D = mesh.shape["data"]
+    assert cfg.n_envs % D == 0, (cfg.n_envs, D)
+    local = make_train_step(env_params, cfg, net, tx, axis="data",
+                            n_shards=D)
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(PartitionSpec(), PartitionSpec(), PartitionSpec("data"),
+                  PartitionSpec()),
+        out_specs=(PartitionSpec(), PartitionSpec(), PartitionSpec("data"),
+                   PartitionSpec(), PartitionSpec()),
+        check_rep=False)
+    return jax.jit(fn, donate_argnums=(0, 1, 2))
 
 
 def init_env_batch(env_params: EnvParams, n_envs: int, key, mesh=None):
