@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Plot a training-metrics JSONL (from ``marlgrid_tpu.parallel.train
+--metrics``) as a learning-curve figure.
+
+Two stacked panels (small multiples — one axis each, never dual-axis):
+episode return and bonus-cycle completions per episode, over env-steps.
+
+Usage:
+    python scripts/plot_training_curve.py runs/goal_cycle.jsonl \
+        --envs-per-iter 262144 --out artifacts/goal_cycle_curve.png
+"""
+import argparse
+import json
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+# categorical slots 1/2 (light mode) from the validated reference palette
+BLUE = "#2a78d6"
+ORANGE = "#d95926"
+INK = "#0b0b0b"
+MUTED = "#52514e"
+GRID = "#e8e7e2"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("jsonl")
+    ap.add_argument("--envs-per-iter", type=int, required=True,
+                    help="env-steps per logged iteration (n_envs * rollout)")
+    ap.add_argument("--out", default="artifacts/training_curve.png")
+    ap.add_argument("--title", default="Goal-cycle PPO learning curve")
+    args = ap.parse_args()
+
+    rows = [json.loads(ln) for ln in open(args.jsonl) if ln.strip()]
+    rows = [r for r in rows if r.get("n_episodes", 0) > 0]
+    xs = [(r["step"] + 1) * args.envs_per_iter / 1e6 for r in rows]
+    ret = [r["episode_return"] for r in rows]
+    cyc = [r.get("episode_cycles", 0.0) for r in rows]
+
+    fig, axes = plt.subplots(2, 1, figsize=(7.2, 5.4), sharex=True,
+                             constrained_layout=True)
+    for ax, ys, color, label in (
+            (axes[0], ret, BLUE, "Episode return (per env, mean)"),
+            (axes[1], cyc, ORANGE, "Bonus-cycle completions per episode")):
+        ax.plot(xs, ys, color=color, linewidth=2)
+        ax.set_title(label, loc="left", fontsize=11, color=INK)
+        ax.grid(True, color=GRID, linewidth=0.8)
+        ax.tick_params(colors=MUTED, labelsize=9)
+        for s in ("top", "right"):
+            ax.spines[s].set_visible(False)
+        for s in ("left", "bottom"):
+            ax.spines[s].set_color(GRID)
+    axes[1].set_xlabel("Environment steps (millions)", fontsize=10,
+                       color=MUTED)
+    fig.suptitle(args.title, fontsize=13, color=INK, x=0.02, ha="left")
+
+    import os
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    fig.savefig(args.out, dpi=160)
+    print(f"wrote {args.out} ({len(rows)} logged points, "
+          f"{xs[-1]:.1f}M env-steps)")
+
+
+if __name__ == "__main__":
+    main()

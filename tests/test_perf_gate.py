@@ -1,0 +1,68 @@
+"""Performance regression gate (SURVEY §4 item 6).
+
+Runs ONLY when pointed at real TPU hardware: set ``MARLGRID_TPU_GATE=1``
+(the default CI harness forces the CPU backend, where throughput numbers
+are meaningless — the gate skips there). Each subtest runs bench.py /
+train.py in a fresh subprocess WITHOUT the conftest's CPU forcing and
+fails if throughput regresses below the recorded-round floor.
+
+Thresholds are deliberately ~20% below the best recorded numbers
+(BASELINE.md) so ordinary run-to-run noise passes but a real regression
+(layout change, fusion break, kernel fallback) fails.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("MARLGRID_TPU_GATE"),
+    reason="TPU perf gate: set MARLGRID_TPU_GATE=1 on a TPU host")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# floors: ~20% under the recorded round-2 numbers (BASELINE.md)
+ENCODE_FLOOR = float(os.environ.get("MARLGRID_GATE_ENCODE", 11.5e6))
+IMAGE_FLOOR = float(os.environ.get("MARLGRID_GATE_IMAGE", 1.4e6))
+PPO_FLOOR = float(os.environ.get("MARLGRID_GATE_PPO", 0.6e6))
+
+
+def _bench(*extra):
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--reps", "2",
+         "--skip-baseline", "--compile-cache",
+         os.path.join(REPO, ".jax_cache_tpu"), *extra],
+        capture_output=True, text=True, timeout=3000, env=env, cwd=REPO)
+    assert out.returncode == 0, out.stdout + out.stderr
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)["value"]
+
+
+def test_encode_throughput_floor():
+    v = _bench("--envs", "16384", "--steps", "64")
+    assert v >= ENCODE_FLOOR, f"encode {v:,.0f} < floor {ENCODE_FLOOR:,.0f}"
+
+
+def test_image_throughput_floor():
+    v = _bench("--envs", "4096", "--steps", "64", "--obs", "image")
+    assert v >= IMAGE_FLOOR, f"image {v:,.0f} < floor {IMAGE_FLOOR:,.0f}"
+
+
+def test_ppo_throughput_floor():
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    out = subprocess.run(
+        [sys.executable, "-m", "marlgrid_tpu.parallel.train",
+         "--scenario", "goal_cycle", "--grid-size", "13", "--agents", "4",
+         "--envs", "4096", "--rollout", "64", "--iters", "12",
+         "--log-every", "10"],
+        capture_output=True, text=True, timeout=3000, env=env, cwd=REPO)
+    assert out.returncode == 0, out.stdout + out.stderr
+    rows = [json.loads(ln) for ln in out.stdout.splitlines()
+            if ln.startswith("{")]
+    v = rows[-1]["env_steps_per_s"]
+    assert v >= PPO_FLOOR, f"ppo {v:,.0f} < floor {PPO_FLOOR:,.0f}"
