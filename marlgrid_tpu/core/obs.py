@@ -467,7 +467,8 @@ def all_obs_encode_b(params: EnvParams, bstate: EnvState, bminor=False):
 
 
 def all_obs_image_b(params: EnvParams, bstate: EnvState, base_lut, agent_lut,
-                    force_xla: bool = False, sprite_interpret: bool = False):
+                    force_xla: bool = False, sprite_interpret: bool = False,
+                    bminor: bool = False):
     """Batched 'image' obs: (B, N, vs*T, vs*T, 3) uint8.
 
     Fast path: the Pallas sprite-composite kernel (ops/sprite.py) — compact
@@ -493,8 +494,12 @@ def all_obs_image_b(params: EnvParams, bstate: EnvState, base_lut, agent_lut,
     from ..ops import sprite
     if not force_xla and sprite.base_palette(params) is not None \
             and (sprite_interpret or sprite.available(params, B)):
+        # bminor=True returns the kernel's native (N, B, H, W, 3) layout,
+        # skipping the final leading-dim swap (hot paths that fold (N, B)
+        # into one batch dim anyway — bench, CNN torso)
         return sprite.compose_image_b(params, base_id, agent_id, adim,
-                                      interpret=sprite_interpret)
+                                      interpret=sprite_interpret,
+                                      nb_layout=bminor)
 
     def lut_select(lut, idx, pad_rows):
         n_rows = lut.shape[0] + pad_rows
@@ -522,8 +527,10 @@ def all_obs_image_b(params: EnvParams, bstate: EnvState, base_lut, agent_lut,
 
 def all_agent_obs_b(params: EnvParams, bstate: EnvState, base_lut=None,
                     agent_lut=None, bminor=False):
-    """Batched obs for a batch-leading state: (B, N, …) — or the
-    batch-minor (3, N, vs, vs, B) layout for encode-style hot paths."""
+    """Batched obs for a batch-leading state: (B, N, …) — or a TPU-native
+    layout with ``bminor=True`` ((3, N, vs, vs, B) for encode; the sprite
+    kernel's (N, B, H, W, 3) for image)."""
     if params.observation_style == "encode":
         return all_obs_encode_b(params, bstate, bminor=bminor)
-    return all_obs_image_b(params, bstate, base_lut, agent_lut)
+    return all_obs_image_b(params, bstate, base_lut, agent_lut,
+                           bminor=bminor)

@@ -100,7 +100,7 @@ def available(params, batch: int) -> bool:
     nc = len(agent_color_slots(params))
     if vs * (nb + 4) > _K or vs * 4 * nc > _K:
         return False
-    return _block_envs(batch * params.n_agents) >= 16
+    return _block_envs(batch) >= 16
 
 
 # --------------------------------------------------------------------------
@@ -150,96 +150,106 @@ def _build_rhs(pal, colors, vs: int, T: int):
 
 
 # --------------------------------------------------------------------------
-# Kernel
+# Kernel: batch-on-lanes one-hot build + transposed-contraction matmuls
 # --------------------------------------------------------------------------
 
-def _row_u8(l1, l2, r1, r2):
-    """One view row's composited pixel stripe: (bc, lanes) uint8.
+def _make_kernel(vs: int, nb: int, nc: int):
+    """Kernel body closure over the static palette geometry.
 
-    All 2D vector ops (Mosaic rejects 3D middle-index stores and 2D->3D
-    shape casts). f32->uint8 goes via int32 (no direct lowering); values
-    are in [0, 256) so the two-step cast equals XLA's astype(uint8).
+    The packed per-cell slot words arrive BATCH-MINOR — (vs*vs, bc) with
+    the env/agent rows on LANES, exactly how the obs pipeline produces
+    them — so no lane<->sublane transpose exists anywhere: the one-hots
+    are built TRANSPOSED, (̲K, bc) with contraction slots on sublanes,
+    and the matmuls contract dim 0 of both operands ((K, M) x (K, N) ->
+    (M, N), native on the MXU). Per view row vj: accumulate the 7 cells'
+    one-hots, two matmuls, alpha composite, uint8; lane-concat the vs
+    pixel-row stripes into the final-image block layout (free reshape
+    outside). All 2D vector ops (Mosaic rejects 3D middle-index stores).
     """
-    out1 = jnp.dot(l1, r1, preferred_element_type=jnp.float32)
-    out2 = jnp.dot(l2, r2, preferred_element_type=jnp.float32)
-    a = out1 >= _ALPHA_FLAG
-    base = out1 - jnp.where(a, _ALPHA_FLAG, 0.0)
-    return jnp.where(a, out2, base).astype(jnp.int32).astype(jnp.uint8)
+    dn = (((0,), (0,)), ((), ()))
+    dims = [float(f) for f in C.PRESTIGE_DIM]
+
+    def kernel(pk_ref, r1_ref, r2_ref, o_ref):
+        iota = jax.lax.broadcasted_iota(jnp.int32, (_K, 1), 0)
+        pkb = pk_ref[0]                                        # (49, bc)
+        rows = []
+        for vj in range(vs):
+            acc1 = None
+            acc2 = None
+            for vi in range(vs):
+                r = vj * vs + vi
+                v = pkb[r:r + 1, :]                            # (1, bc)
+                s1 = v & 255
+                sa = (v >> 8) & 255
+                s2 = (v >> 16) & 255
+                lv = (v >> 24) & 7
+                oh = (s1 == iota) | (sa == iota)               # (_K, bc)
+                acc1 = oh if acc1 is None else (acc1 | oh)
+                dimf = sum(jnp.where(lv == li, d, 0.0)
+                           for li, d in enumerate(dims))       # (1, bc) f32
+                q = jnp.where(s2 == iota, dimf, 0.0)
+                acc2 = q if acc2 is None else (acc2 + q)
+            o1 = jax.lax.dot_general(acc1.astype(jnp.bfloat16), r1_ref[:],
+                                     dn, preferred_element_type=jnp.float32)
+            o2 = jax.lax.dot_general(acc2.astype(jnp.bfloat16), r2_ref[:],
+                                     dn, preferred_element_type=jnp.float32)
+            a = o1 >= _ALPHA_FLAG
+            base = o1 - jnp.where(a, _ALPHA_FLAG, 0.0)
+            # no direct f32->u8 lowering; values in [0, 256) so i32 matches
+            rows.append(jnp.where(a, o2, base)
+                        .astype(jnp.int32).astype(jnp.uint8))
+        o_ref[0] = jnp.concatenate(rows, axis=1)
+
+    return kernel
 
 
-def _kernel_concat(l1_ref, l2_ref, r1_ref, r2_ref, o_ref):
-    # out block (bc, vs*lanes): per-vj stripes lane-concatenated — the
-    # output array (M, vs*lanes) IS the final image layout (free reshape)
-    vs = l1_ref.shape[0]
-    rows = [_row_u8(l1_ref[vj], l2_ref[vj], r1_ref[:], r2_ref[:])
-            for vj in range(vs)]
-    o_ref[:] = jnp.concatenate(rows, axis=1)
+@functools.partial(jax.jit, static_argnames=("vs", "nb", "nc", "lanes",
+                                             "bc", "interpret"))
+def _compose(pk, rhs1, rhs2, vs: int, nb: int, nc: int, lanes: int, bc: int,
+             interpret: bool = False):
+    """pk: (N, vs*vs, B) int32 batch-minor -> (N, B, vs*lanes) uint8.
 
-
-def _kernel_vjmajor(l1_ref, l2_ref, r1_ref, r2_ref, o_ref):
-    # out block (1, bc, lanes) at (vj, i): leading-dim index only
-    o_ref[0] = _row_u8(l1_ref[0], l2_ref[0], r1_ref[:], r2_ref[:])
-
-
-@functools.partial(jax.jit, static_argnames=("vs", "lanes", "bc",
-                                             "variant", "interpret"))
-def _compose(lhs1, lhs2, rhs1, rhs2, vs: int, lanes: int, bc: int,
-             variant: str = "concat", interpret: bool = False):
-    """lhs*: (vs, M, _K) bf16 -> (M, vs*lanes) uint8 (M = B*N)."""
-    M = lhs1.shape[1]
-    if variant == "concat":
-        return pl.pallas_call(
-            _kernel_concat,
-            grid=(M // bc,),
-            in_specs=[
-                pl.BlockSpec((vs, bc, _K), lambda i: (0, i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((vs, bc, _K), lambda i: (0, i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((_K, lanes), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((_K, lanes), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((bc, vs * lanes), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((M, vs * lanes), jnp.uint8),
-            interpret=interpret,
-        )(lhs1, lhs2, rhs1, rhs2)
-    # 'vjmajor': per-(vj, i) grid; the vj-major output needs one XLA
-    # transpose afterwards (fallback when lane-concat fails to lower)
-    out = pl.pallas_call(
-        _kernel_vjmajor,
-        grid=(vs, M // bc),
+    Grid (n, b-block) with 3D blocks indexed on the LEADING dim only and
+    trailing dims (49, bc) == (full, lane-tile): the agent dim never
+    merges into the lane dim, so XLA fuses the packed-word production
+    straight into the kernel's operand (no relayout copies — a
+    (vj,vi,N,B)->(49,N*B) lane merge cost 0.8 ms/call before).
+    """
+    N, B = pk.shape[0], pk.shape[2]
+    return pl.pallas_call(
+        _make_kernel(vs, nb, nc),
+        grid=(N, B // bc),
         in_specs=[
-            pl.BlockSpec((1, bc, _K), lambda vj, i: (vj, i, 0),
+            pl.BlockSpec((1, vs * vs, bc), lambda n, i: (n, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bc, _K), lambda vj, i: (vj, i, 0),
+            pl.BlockSpec((_K, lanes), lambda n, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_K, lanes), lambda vj, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_K, lanes), lambda vj, i: (0, 0),
+            pl.BlockSpec((_K, lanes), lambda n, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bc, lanes), lambda vj, i: (vj, i, 0),
+        out_specs=pl.BlockSpec((1, bc, vs * lanes), lambda n, i: (n, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((vs, M, lanes), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((N, B, vs * lanes), jnp.uint8),
         interpret=interpret,
-    )(lhs1, lhs2, rhs1, rhs2)
-    return out.transpose(1, 0, 2).reshape(M, vs * lanes)
+    )(pk, rhs1, rhs2)
 
 
 # --------------------------------------------------------------------------
 # Device-side entry: batch-minor ids -> reference-shaped image
 # --------------------------------------------------------------------------
 
-def compose_image_b(params, base_id, agent_id, adim, interpret=False):
+def compose_image_b(params, base_id, agent_id, adim, interpret=False,
+                    nb_layout=False):
     """(B, N, vs*T, vs*T, 3) uint8 from batch-minor per-cell ids.
 
     ``base_id``: (N, vs, vs, B) int32 appearance codes (N_BASE_APPEAR =
     black/invisible row); ``agent_id``: (N, vs, vs, B) int32 (0 = none,
     else 1 + color*4 + reldir, already vis-masked); ``adim``: (N, vs, vs, B)
     float32 prestige dim factor of the observed agent.
+
+    ``nb_layout=True`` returns the TPU-native (N, B, vs*T, vs*T, 3) layout
+    (kernel row order is (n, b)), skipping the final leading-dim swap —
+    use on hot paths that fold (N, B) into one batch dim anyway.
     """
     vs, T, N = params.view_size, params.view_tile_size, params.n_agents
     B = base_id.shape[-1]
@@ -247,53 +257,46 @@ def compose_image_b(params, base_id, agent_id, adim, interpret=False):
     colors = agent_color_slots(params)
     nb, nc = len(pal), len(colors)
     w1, w2 = nb + 4, 4 * nc
-    bc = _block_envs(B * N)
+    bc = _block_envs(B)
     lanes = vs * T * T * 3
 
-    # compact palette indices (unmatched / invisible -> nb == all-zero
-    # one-hot == black); agent rows: color slot * 4 + reldir
-    cb = jnp.full(base_id.shape, nb, jnp.int32)
+    # --- batch-minor (B on lanes): compact palette slots per view cell ---
+    # (unmatched / invisible -> sentinel 255 == no contraction row == black)
+    NOROW = 255
+    cb = jnp.full(base_id.shape, -1, jnp.int32)
     for j, code in enumerate(pal):
         cb = jnp.where(base_id == code, j, cb)
     has_agent = agent_id > 0
     acolor = (agent_id - 1) // 4
     reldir = (agent_id - 1) % 4
-    ca = jnp.full(agent_id.shape, 4 * nc, jnp.int32)     # sentinel: no rows
+    ca = jnp.full(agent_id.shape, -1, jnp.int32)
     for k, col in enumerate(colors):
         ca = jnp.where(has_agent & (acolor == col), k * 4 + reldir, ca)
-    adir = jnp.where(has_agent, reldir, 4)               # 4 = no alpha row
+    # prestige dim LEVEL (3 bits) recovered from the factor (exact: adim is
+    # always a PRESTIGE_DIM table entry)
+    lvl = jnp.zeros(adim.shape, jnp.int32)
+    for li, f in enumerate(C.PRESTIGE_DIM):
+        lvl = jnp.where(adim == jnp.float32(f), li, lvl)
 
-    # ONE packed transpose to batch-major: cb | ca<<5 | adir<<10 | bf16 adim
-    dim_bits = jax.lax.bitcast_convert_type(
-        adim.astype(jnp.bfloat16), jnp.uint16).astype(jnp.int32)
-    code = cb | (ca << 5) | (adir << 10) | (dim_bits << 16)
-    # (N, vi, vj, B) -> (vj, B, N, vi): batch-minor relayout then the big
-    # lane transpose, all in one XLA transpose of a small int32 array
-    codeT = code.transpose(2, 3, 0, 1)                   # (vj, B, N, vi)
-    codeT = codeT.reshape(vs, B * N, vs)
+    # absolute contraction-slot values (vi folded in), packed into ONE int32
+    vi_off = jnp.arange(vs, dtype=jnp.int32)[None, :, None, None]
+    slot1 = jnp.where(cb >= 0, cb + vi_off * w1, NOROW)
+    slota = jnp.where(has_agent, nb + reldir + vi_off * w1, NOROW)
+    slot2 = jnp.where(ca >= 0, ca + vi_off * w2, NOROW)
+    packed = slot1 | (slota << 8) | (slot2 << 16) | (lvl << 24)
 
-    cbT = codeT & 31
-    caT = (codeT >> 5) & 31
-    adirT = (codeT >> 10) & 7
-    dimT = jax.lax.bitcast_convert_type(
-        (codeT >> 16).astype(jnp.uint16), jnp.bfloat16)
-
-    vi_off1 = (jnp.arange(vs) * w1)[None, None, :]
-    vi_off2 = (jnp.arange(vs) * w2)[None, None, :]
-    slot1 = jnp.where(cbT < nb, cbT + vi_off1, _K)
-    slota = jnp.where(adirT < 4, nb + adirT + vi_off1, _K)
-    slot2 = jnp.where(caT < 4 * nc, caT + vi_off2, _K)
-    iota = jnp.arange(_K)
-    oh1 = ((slot1[..., None] == iota) | (slota[..., None] == iota)) \
-        .astype(jnp.bfloat16)
-    oh2 = (slot2[..., None] == iota).astype(jnp.bfloat16) * dimT[..., None]
-    lhs1 = oh1.sum(2)                                    # (vs, B*N, _K)
-    lhs2 = oh2.sum(2)
+    # (N, vi, vj, B) -> (N, vs*vs, B): pure leading-dim permutation with B
+    # untouched on lanes — fuses into the elementwise packed-word producer
+    # (the expensive lane<->sublane crossing happens nowhere; the kernel
+    # consumes batch-minor directly)
+    pk = packed.transpose(0, 2, 1, 3).reshape(N, vs * vs, B)
 
     rhs1, rhs2 = _build_rhs(pal, colors, vs, T)
-    import os
-
-    variant = os.environ.get("MARLGRID_SPRITE_VARIANT", "concat")
-    out = _compose(lhs1, lhs2, rhs1, rhs2, vs, lanes, bc,
-                   variant=variant, interpret=interpret)  # (B*N, vs*lanes)
-    return out.reshape(B, N, vs * T, vs * T, 3)
+    out = _compose(pk, rhs1, rhs2, vs, nb, nc, lanes, bc,
+                   interpret=interpret)          # (N, B, vs*lanes)
+    img = out.reshape(N, B, vs * T, vs * T, 3)
+    if nb_layout:
+        return img
+    # (N, B, ...) -> (B, N, ...): leading-dim row shuffle of contiguous
+    # 9408-byte rows (bandwidth-bound copy, not a lane transpose)
+    return img.transpose(1, 0, 2, 3, 4)

@@ -57,6 +57,11 @@ def test_sprite_kernel_matches_xla_path(cfg):
     got = obs_mod.all_obs_image_b(params, state, bl, al,
                                   sprite_interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # TPU-native (N, B, ...) layout is the same image, agent-major
+    got_nb = obs_mod.all_obs_image_b(params, state, bl, al,
+                                     sprite_interpret=True, bminor=True)
+    np.testing.assert_array_equal(
+        np.asarray(got_nb), np.asarray(ref).transpose(1, 0, 2, 3, 4))
 
 
 def test_sprite_kernel_hidden_types_and_offset():
