@@ -25,7 +25,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # floors: ~20% under the recorded round-2 numbers (BASELINE.md)
 ENCODE_FLOOR = float(os.environ.get("MARLGRID_GATE_ENCODE", 11.5e6))
-IMAGE_FLOOR = float(os.environ.get("MARLGRID_GATE_IMAGE", 1.4e6))
+IMAGE_FLOOR = float(os.environ.get("MARLGRID_GATE_IMAGE", 3.0e6))
 PPO_FLOOR = float(os.environ.get("MARLGRID_GATE_PPO", 0.6e6))
 
 
