@@ -116,8 +116,15 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
 
     def rollout(params, env_state, key):
         obs0 = obs_of(env_state)
+        # one fresh board per scan step, generated vmapped OUTSIDE the scan
+        # (an unbatched reset inside the scan body is a serial event chain
+        # of tiny kernels — it dominated the rollout at ~1 ms/step; same
+        # fix as bench.py's step_autoreset_with_fresh path)
+        key, fk = jax.random.split(key)
+        fresh = jax.vmap(lambda k: grid_gen.reset(env_params, k))(
+            jax.random.split(fk, T))
 
-        def body(carry, _):
+        def body(carry, fresh_t):
             env_state, obs, key = carry
             key, ak = jax.random.split(key)
             logits, value = net.apply(params, obs)      # (B, N, A), (B, N)
@@ -131,9 +138,12 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
                 akeys = jax.vmap(jax.random.fold_in, (None, 0))(ak, env_ids)
                 a = jax.vmap(jax.random.categorical)(akeys, logits)
             logp = jax.nn.log_softmax(logits)
-            logp_a = jnp.take_along_axis(logp, a[..., None], -1)[..., 0]
-            env_state, rew, done, info = step_mod.step_autoreset_batch(
-                env_params, env_state, a)
+            # one-hot contraction, not take_along_axis: TPU gathers
+            # serialize (this one measured 10 ms/iter)
+            logp_a = (logp * (a[..., None] == jnp.arange(logp.shape[-1]))
+                      ).sum(-1)
+            env_state, rew, done, info = step_mod.step_autoreset_with_fresh(
+                env_params, env_state, a, fresh_t)
             nobs = obs_of(env_state)
             env_state = constrain(env_state)
             # Trajectory obs are stored FLAT uint8 (codes <= 176): a
@@ -148,7 +158,7 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
             return (env_state, nobs, key), tr
 
         (env_state, last_obs, key), traj = jax.lax.scan(
-            body, (env_state, obs0, key), None, length=T)
+            body, (env_state, obs0, key), fresh)
         _, last_value = net.apply(params, last_obs)
         return env_state, key, traj, last_value
 
@@ -157,8 +167,10 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
         obs = batch["obs"].astype(dtype).reshape((-1,) + shape)
         logits, value = net.apply(params, obs)
         logp = jax.nn.log_softmax(logits)
-        logp_a = jnp.take_along_axis(logp, batch["act"][..., None],
-                                     -1)[..., 0]
+        # one-hot select (gather-free; the take_along_axis formulation's
+        # jvp gather measured 16 ms/iter on TPU)
+        logp_a = (logp * (batch["act"][..., None]
+                          == jnp.arange(logp.shape[-1]))).sum(-1)
         ratio = jnp.exp(logp_a - batch["logp"])
         adv = batch["adv"]
         if axis is None:
