@@ -43,7 +43,14 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core import constants as C
 
 _ALPHA_FLAG = 4096.0
-_K = 128           # contraction width (one MXU pass)
+_K = 128           # max contraction width (one MXU pass)
+
+
+def _ck(slots: int) -> int:
+    """Contraction width for ``slots`` used rows: bf16 sublane tile (16)
+    granularity — MXU pass time scales with K, so a 6-slot-per-cell
+    palette contracts over 48 rows, not a padded 128."""
+    return min(_K, -(-slots // 16) * 16)
 
 
 # --------------------------------------------------------------------------
@@ -59,8 +66,10 @@ def base_palette(params):
     pal = SCENARIO_PALETTES.get(params.scenario)
     if pal is None:
         return None
-    triples = [(C.EMPTY, 0, 0), (C.WALL, C.COLOR_TO_IDX["grey"], 0)]
-    triples += [t for t in pal if t not in triples]
+    # EMPTY is deliberately absent: its sprite is all-black, identical to
+    # the "no contraction row" sentinel, so it costs zero slots
+    triples = [(C.WALL, C.COLOR_TO_IDX["grey"], 0)]
+    triples += [t for t in pal if t not in triples and t[0] != C.EMPTY]
     hidden = set(params.hide_item_types)
     triples = [t for t in triples if t[0] not in hidden]
     return tuple((t * C.N_COLORS + c) * NS + s for (t, c, s) in triples)
@@ -124,8 +133,8 @@ def _build_rhs(pal, colors, vs: int, T: int):
     lanes = vs * T * T * 3
     base_lut = rendering.base_lut(T)                     # (n_appear, T, T, 3)
     agent_lut = rendering.agent_lut(T)                   # (n_agent, T, T, 4)
-    rhs1 = np.zeros((_K, lanes), np.float32)
-    rhs2 = np.zeros((_K, lanes), np.float32)
+    rhs1 = np.zeros((_ck(vs * (nb + 4)), lanes), np.float32)
+    rhs2 = np.zeros((_ck(vs * 4 * nc), lanes), np.float32)
 
     def cols(vi):
         ty, tx, c = np.meshgrid(np.arange(T), np.arange(T), np.arange(3),
@@ -170,7 +179,9 @@ def _make_kernel(vs: int, nb: int, nc: int):
     dims = [float(f) for f in C.PRESTIGE_DIM]
 
     def kernel(pk_ref, r1_ref, r2_ref, o_ref):
-        iota = jax.lax.broadcasted_iota(jnp.int32, (_K, 1), 0)
+        k1, k2 = r1_ref.shape[0], r2_ref.shape[0]
+        iota1 = jax.lax.broadcasted_iota(jnp.int32, (k1, 1), 0)
+        iota2 = jax.lax.broadcasted_iota(jnp.int32, (k2, 1), 0)
         pkb = pk_ref[0]                                        # (49, bc)
         rows = []
         for vj in range(vs):
@@ -183,11 +194,11 @@ def _make_kernel(vs: int, nb: int, nc: int):
                 sa = (v >> 8) & 255
                 s2 = (v >> 16) & 255
                 lv = (v >> 24) & 7
-                oh = (s1 == iota) | (sa == iota)               # (_K, bc)
+                oh = (s1 == iota1) | (sa == iota1)             # (k1, bc)
                 acc1 = oh if acc1 is None else (acc1 | oh)
                 dimf = sum(jnp.where(lv == li, d, 0.0)
                            for li, d in enumerate(dims))       # (1, bc) f32
-                q = jnp.where(s2 == iota, dimf, 0.0)
+                q = jnp.where(s2 == iota2, dimf, 0.0)
                 acc2 = q if acc2 is None else (acc2 + q)
             o1 = jax.lax.dot_general(acc1.astype(jnp.bfloat16), r1_ref[:],
                                      dn, preferred_element_type=jnp.float32)
@@ -222,9 +233,9 @@ def _compose(pk, rhs1, rhs2, vs: int, nb: int, nc: int, lanes: int, bc: int,
         in_specs=[
             pl.BlockSpec((1, vs * vs, bc), lambda n, i: (n, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_K, lanes), lambda n, i: (0, 0),
+            pl.BlockSpec((rhs1.shape[0], lanes), lambda n, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_K, lanes), lambda n, i: (0, 0),
+            pl.BlockSpec((rhs2.shape[0], lanes), lambda n, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bc, vs * lanes), lambda n, i: (n, i, 0),

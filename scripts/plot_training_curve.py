@@ -37,8 +37,20 @@ def main():
     rows = [json.loads(ln) for ln in open(args.jsonl) if ln.strip()]
     rows = [r for r in rows if r.get("n_episodes", 0) > 0]
     xs = [(r["step"] + 1) * args.envs_per_iter / 1e6 for r in rows]
-    ret = [r["episode_return"] for r in rows]
-    cyc = [r.get("episode_cycles", 0.0) for r in rows]
+
+    def smooth(ys, k=5):
+        """episode-count-weighted rolling mean (windows vary in episodes)"""
+        w = [r["n_episodes"] for r in rows]
+        out = []
+        for i in range(len(ys)):
+            lo = max(0, i - k + 1)
+            num = sum(y * n for y, n in zip(ys[lo:i + 1], w[lo:i + 1]))
+            den = sum(w[lo:i + 1])
+            out.append(num / den)
+        return out
+
+    ret = smooth([r["episode_return"] for r in rows])
+    cyc = smooth([r.get("episode_cycles", 0.0) for r in rows])
 
     fig, axes = plt.subplots(2, 1, figsize=(7.2, 5.4), sharex=True,
                              constrained_layout=True)
