@@ -155,7 +155,11 @@ def _build_rhs(pal, colors, vs: int, T: int):
                 rhs2[vi * (4 * nc) + k * 4 + d, cc] = \
                     agent_lut[1 + col * 4 + d, :, :, :3] \
                     .astype(np.float32).reshape(-1)
-    return (jnp.asarray(rhs1, jnp.bfloat16), jnp.asarray(rhs2, jnp.bfloat16))
+    # cache NUMPY (converted per call site): caching jnp arrays created
+    # inside a jit trace leaks tracers across compilations
+    import ml_dtypes
+
+    return (rhs1.astype(ml_dtypes.bfloat16), rhs2.astype(ml_dtypes.bfloat16))
 
 
 # --------------------------------------------------------------------------
@@ -302,7 +306,9 @@ def compose_image_b(params, base_id, agent_id, adim, interpret=False,
     # consumes batch-minor directly)
     pk = packed.transpose(0, 2, 1, 3).reshape(N, vs * vs, B)
 
-    rhs1, rhs2 = _build_rhs(pal, colors, vs, T)
+    r1np, r2np = _build_rhs(pal, colors, vs, T)
+    rhs1 = jnp.asarray(r1np, jnp.bfloat16)
+    rhs2 = jnp.asarray(r2np, jnp.bfloat16)
     out = _compose(pk, rhs1, rhs2, vs, nb, nc, lanes, bc,
                    interpret=interpret)          # (N, B, vs*lanes)
     img = out.reshape(N, B, vs * T, vs * T, 3)
