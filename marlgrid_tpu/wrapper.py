@@ -390,3 +390,25 @@ def env_params_for(scenario: str, grid_size: int, n_agents: int,
     kw.setdefault("agent_colors", default_agent_colors(n_agents))
     return EnvParams(width=grid_size, height=grid_size, n_agents=n_agents,
                      scenario=scenario, **kw)
+
+
+class GymnasiumMultiGridEnv(MultiGridEnv):
+    """Modern gymnasium 5-tuple API over the same engine (no reference
+    analog — the reference predates the terminated/truncated split).
+
+    ``reset(seed=, options=) -> (obs_tuple, info)``;
+    ``step(actions) -> (obs_tuple, rewards, terminated, truncated, info)``
+    with ``truncated`` = the shared done came from the step limit and
+    ``terminated`` = it came from agent deactivation (or reset_on_cycle).
+    Observations/rewards stay per-agent tuples (multi-agent env)."""
+
+    def reset(self, seed=None, options=None):
+        obs = super().reset(seed=seed)
+        return tuple(obs), {}
+
+    def step(self, actions):
+        obs, rew, done, info = super().step(actions)
+        truncated = bool(done) and \
+            int(self.state.step_count) >= self.params.max_steps
+        terminated = bool(done) and not truncated
+        return tuple(obs), rew, terminated, truncated, info

@@ -143,3 +143,26 @@ def test_render_human_headless(tmp_path, monkeypatch):
     assert env._viewer is not None   # viewer engaged (saves frames headless)
     env.close()
     assert env._viewer is None
+
+
+def test_gymnasium_5tuple_adapter():
+    from marlgrid_tpu.wrapper import GymnasiumMultiGridEnv
+
+    env = GymnasiumMultiGridEnv(grid_size=9, max_steps=3, seed=0)
+    obs, info = env.reset(seed=1)
+    assert isinstance(obs, tuple) and len(obs) == 1
+    for _ in range(3):   # 'done' action no-ops until the step limit
+        obs, rew, terminated, truncated, info = env.step([6])
+    assert truncated and not terminated
+
+    # terminated (not truncated) when the only agent reaches a goal
+    env2 = GymnasiumMultiGridEnv(grid_size=9, max_steps=50, seed=0,
+                                 reward_decay=False)
+    env2.reset(seed=3)
+    enc = env2.encode()
+    for x, y in zip(*np.nonzero(enc[..., 0] == C.GOAL)):
+        env2._set_cell_host(int(x), int(y), (C.EMPTY, 0, 0))
+    env2.place_obj((C.GOAL, 3, 0), top=(5, 5), size=(1, 1))
+    env2.place_agent(0, top=(4, 5), size=(1, 1), dir=0)
+    _, rew, terminated, truncated, _ = env2.step([C.FORWARD])
+    assert terminated and not truncated and rew[0] == 1.0

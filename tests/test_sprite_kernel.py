@@ -88,3 +88,30 @@ def test_palette_availability_gates():
     grid_gen._N_EVENTS.setdefault("nopalette", lambda p: 1)
     p2 = params.replace(scenario="nopalette")
     assert sprite.base_palette(p2) is None
+
+
+def test_custom_scenario_palette_hook():
+    """register_scenario(palette=...) opts a custom scenario into the
+    sprite kernel; the kernel must match the XLA path there too."""
+    import marlgrid_tpu.objects as O
+
+    def _engine(params, layers, split_x, door_y):
+        return layers, [O.Lava() for _ in range(4)] + [O.Goal()], None
+
+    grid_gen.register_scenario(
+        "lavafield_pal", _engine, 5,
+        palette=[(8, 1, 0), (7, 3, 0)])   # orange lava, green goal
+    params = EnvParams(width=11, height=11, n_agents=2,
+                       scenario="lavafield_pal", observation_style="image",
+                       agent_colors=default_agent_colors(2))
+    assert sprite.base_palette(params) is not None
+    state = _rollout_states(params, 16, 4, seed=5)
+    import jax.numpy as jnp
+
+    from marlgrid_tpu import rendering
+    bl = jnp.asarray(rendering.base_lut(params.view_tile_size))
+    al = jnp.asarray(rendering.agent_lut(params.view_tile_size))
+    ref = obs_mod.all_obs_image_b(params, state, bl, al, force_xla=True)
+    got = obs_mod.all_obs_image_b(params, state, bl, al,
+                                  sprite_interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
