@@ -258,6 +258,11 @@ def encode_obj_cell(obj, params: EnvParams = None):
     t, c, s = obj.encode()
     if params is None:
         return (t, c, s)
+    # objects constructed without an explicit reward defer to the env's
+    # uniform goal_reward/bonus_reward (Goal() keeps working under any
+    # EnvParams; only Goal(reward=r) binds to the goal_rewards table)
+    if not getattr(obj, "explicit_reward", True):
+        return (t, c, s)
     r = getattr(obj, "reward", None)
     if t == C.GOAL and r is not None:
         r = float(r)

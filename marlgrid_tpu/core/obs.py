@@ -492,7 +492,7 @@ def all_obs_image_b(params: EnvParams, bstate: EnvState, base_lut, agent_lut,
         agent_id = jnp.where(vis, agent_id, 0)
 
     from ..ops import sprite
-    if not force_xla and sprite.base_palette(params) is not None \
+    if not force_xla and sprite.config_ok(params) \
             and (sprite_interpret or sprite.available(params, B)):
         # bminor=True returns the kernel's native (N, B, H, W, 3) layout,
         # skipping the final leading-dim swap (hot paths that fold (N, B)
@@ -521,8 +521,13 @@ def all_obs_image_b(params: EnvParams, bstate: EnvState, base_lut, agent_lut,
     img = jnp.where(over[..., 3:] > 0, over[..., :3] * adimB,
                     base).astype(jnp.uint8)
     # (B, N, vi, vj, ty, tx, 3) -> rows vj*T+ty, cols vi*T+tx
-    return img.transpose(0, 1, 3, 4, 2, 5, 6).reshape(
+    img = img.transpose(0, 1, 3, 4, 2, 5, 6).reshape(
         B, N, vs * T, vs * T, 3)
+    if bminor:
+        # keep the bminor contract consistent with the sprite kernel's
+        # native (N, B, ...) layout even on this fallback path
+        return img.transpose(1, 0, 2, 3, 4)
+    return img
 
 
 def all_agent_obs_b(params: EnvParams, bstate: EnvState, base_lut=None,

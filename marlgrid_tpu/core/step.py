@@ -281,7 +281,7 @@ def step_autoreset_batch(params: EnvParams, state: EnvState, actions):
 
 
 def step_autoreset_with_fresh(params: EnvParams, state: EnvState, actions,
-                              fresh: EnvState):
+                              fresh: EnvState, env_offset=0):
     """Shared-board autoreset with a caller-provided fresh board.
 
     Rollout loops pre-generate one fresh board per scan step (a single
@@ -289,13 +289,20 @@ def step_autoreset_with_fresh(params: EnvParams, state: EnvState, actions,
     the scan only the cheap select/re-key remains. An unbatched reset inside
     the scan body is pure serial kernel-launch overhead; a per-env batched
     one regenerates B boards to use ~B/max_steps of them.
+
+    ``env_offset``: index of this batch's first env in the GLOBAL batch —
+    shard_map callers pass ``axis_index * B_local`` so post-reset RNG
+    streams stay distinct across shards (each shard re-keys envs by global
+    index; with a replicated fresh board, local indexing would give env i
+    of every shard an identical stream).
     """
     stepped, rew, done = jax.vmap(
         lambda s, a: step(params, s, a))(state, actions)
-    return _select_fresh(stepped, rew, done, fresh)
+    return _select_fresh(stepped, rew, done, fresh, env_offset)
 
 
-def _select_fresh(stepped: EnvState, rew, done, fresh: EnvState):
+def _select_fresh(stepped: EnvState, rew, done, fresh: EnvState,
+                  env_offset=0):
     B = done.shape[0]
 
     def sel(a, b):
@@ -303,7 +310,8 @@ def _select_fresh(stepped: EnvState, rew, done, fresh: EnvState):
 
     new_state = jax.tree.map(sel, stepped, fresh)
     # distinct per-env step keys so post-reset RNG streams diverge
-    env_keys = jax.vmap(lambda i: rng.fold_in(fresh.key, i))(jnp.arange(B))
+    env_keys = jax.vmap(lambda i: rng.fold_in(fresh.key, i))(
+        env_offset + jnp.arange(B))
     new_state.key = jnp.where(done[:, None], env_keys, stepped.key)
     info = {
         "episode_return": jnp.where(done, stepped.accum_reward.sum(-1), 0.0),

@@ -103,9 +103,17 @@ def _register_with_gymnasium(env_id: str):
         return
     if env_id in gymnasium.registry:
         return
+
+    def _entry(_env_id=env_id, render_mode=None, **kw):
+        # gymnasium.make forwards render_mode (advertised in metadata);
+        # it is a render-time argument here, not an EnvParams field
+        env = make(_env_id, **kw)
+        env.render_mode = render_mode
+        return env
+
     gymnasium.register(
         id=env_id,
-        entry_point=lambda _env_id=env_id, **kw: make(_env_id, **kw),
+        entry_point=_entry,
         disable_env_checker=True,
         order_enforce=False,
     )

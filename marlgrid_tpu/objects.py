@@ -118,9 +118,13 @@ class Goal(WorldObj):
     #: bypasses subclass __init__) always expose ``reward`` (ADVICE r1)
     reward: float = 1.0
 
-    def __init__(self, reward: float = 1.0, color: Optional[str] = None):
+    def __init__(self, reward: float = None, color: Optional[str] = None):
         super().__init__(color)
-        self.reward = reward
+        # reward=None (the default) means "pay whatever the env's
+        # goal_reward is" — only an EXPLICIT reward binds the object to a
+        # goal_rewards table entry (grid_gen.encode_obj_cell)
+        self.explicit_reward = reward is not None
+        self.reward = 1.0 if reward is None else reward
 
 
 class Lava(WorldObj):
@@ -188,10 +192,12 @@ class BonusTile(WorldObj):
     penalty: float = 0.5
 
     def __init__(self, bonus_id: int = 0, color: Optional[str] = None,
-                 reward: float = 1.0, penalty: float = 0.5):
+                 reward: float = None, penalty: float = None):
         super().__init__(color, state=int(bonus_id))
-        self.reward = reward
-        self.penalty = penalty
+        # None defaults defer to the env's bonus_reward/bonus_penalty
+        self.explicit_reward = reward is not None or penalty is not None
+        self.reward = 1.0 if reward is None else reward
+        self.penalty = 0.5 if penalty is None else penalty
 
     @property
     def bonus_id(self) -> int:

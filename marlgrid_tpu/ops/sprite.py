@@ -93,6 +93,18 @@ def _block_envs(total: int) -> int:
     return 0
 
 
+def config_ok(params) -> bool:
+    """Static palette/size feasibility (backend- and batch-independent;
+    the interpret-mode debug path must pass this too)."""
+    pal = base_palette(params)
+    if pal is None:
+        return False
+    vs = params.view_size
+    nb = len(pal)
+    nc = len(agent_color_slots(params))
+    return vs * (nb + 4) <= _K and vs * 4 * nc <= _K
+
+
 def available(params, batch: int) -> bool:
     """Can the kernel serve this config? (static; checked per call site)"""
     import os
@@ -101,13 +113,7 @@ def available(params, batch: int) -> bool:
         return False
     if jax.default_backend() != "tpu":
         return False
-    pal = base_palette(params)
-    if pal is None:
-        return False
-    vs = params.view_size
-    nb = len(pal)
-    nc = len(agent_color_slots(params))
-    if vs * (nb + 4) > _K or vs * 4 * nc > _K:
+    if not config_ok(params):
         return False
     return _block_envs(batch) >= 16
 
@@ -272,7 +278,9 @@ def compose_image_b(params, base_id, agent_id, adim, interpret=False,
     colors = agent_color_slots(params)
     nb, nc = len(pal), len(colors)
     w1, w2 = nb + 4, 4 * nc
-    bc = _block_envs(B)
+    # interpret mode has no tiling constraints; any bc works there, so odd
+    # batch sizes (available() would reject them on TPU) use one block
+    bc = _block_envs(B) or B
     lanes = vs * T * T * 3
 
     # --- batch-minor (B on lanes): compact palette slots per view cell ---

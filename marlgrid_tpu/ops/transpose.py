@@ -44,28 +44,3 @@ def transpose_bk(x: jax.Array) -> jax.Array:
     if jax.default_backend() == "tpu" and B % _BB == 0:
         return _pallas_t(x, _BB)
     return x.T
-
-
-@functools.partial(jax.jit, static_argnames=("bb",))
-def _pallas_t_kb(x, bb: int):
-    K, B = x.shape
-    return pl.pallas_call(
-        _tkernel,
-        grid=(B // bb,),
-        in_specs=[pl.BlockSpec((K, bb), lambda i: (0, i),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((bb, K), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, K), x.dtype),
-    )(x)
-
-
-def transpose_kb(x: jax.Array) -> jax.Array:
-    """(K, B) -> (B, K) — the lane->sublane direction (e.g. batch-minor ids
-    to batch-major rows for the sprite kernel). Same tiled-transpose kernel;
-    XLA's own lowering of this direction measured ~40x slower (37 ms for a
-    2.4 MB int32 operand at B=4096, serialized relayout)."""
-    K, B = x.shape
-    if jax.default_backend() == "tpu" and B % _BB == 0:
-        return _pallas_t_kb(x, _BB)
-    return x.T

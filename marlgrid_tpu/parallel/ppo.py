@@ -121,6 +121,9 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
         # of tiny kernels — it dominated the rollout at ~1 ms/step; same
         # fix as bench.py's step_autoreset_with_fresh path)
         key, fk = jax.random.split(key)
+        if axis is not None:
+            # distinct fresh-board layouts per shard (the key is replicated)
+            fk = jax.random.fold_in(fk, jax.lax.axis_index(axis))
         fresh = jax.vmap(lambda k: grid_gen.reset(env_params, k))(
             jax.random.split(fk, T))
 
@@ -142,8 +145,9 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
             # serialize (this one measured 10 ms/iter)
             logp_a = (logp * (a[..., None] == jnp.arange(logp.shape[-1]))
                       ).sum(-1)
+            off = 0 if axis is None else jax.lax.axis_index(axis) * B
             env_state, rew, done, info = step_mod.step_autoreset_with_fresh(
-                env_params, env_state, a, fresh_t)
+                env_params, env_state, a, fresh_t, env_offset=off)
             nobs = obs_of(env_state)
             env_state = constrain(env_state)
             # Trajectory obs are stored FLAT uint8 (codes <= 176): a
@@ -217,12 +221,16 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
         G = 1   # largest power-of-2 divisor of n, capped at 8192 blocks
         while G * 2 <= 8192 and n % (G * 2) == 0:
             G *= 2
-        if G % cfg.n_minibatches:
-            G = cfg.n_minibatches
-        assert n % G == 0 and G % cfg.n_minibatches == 0, (
-            f"trajectory rows n={n} not divisible into shuffle blocks for "
-            f"n_minibatches={cfg.n_minibatches}")
+        if G < cfg.n_minibatches:
+            # awkward n (odd agent counts etc.): fall back to row blocks
+            G = n
+        assert G >= cfg.n_minibatches, \
+            f"fewer trajectory rows ({n}) than minibatches"
         rows = n // G
+        # like the pre-block-shuffle code, a remainder of blocks that does
+        # not fill every minibatch is dropped from the epoch (G is a power
+        # of two, so at most n_minibatches-1 blocks)
+        used = (G // cfg.n_minibatches) * cfg.n_minibatches
         blocked = jax.tree.map(
             lambda x: x.reshape((G, rows) + x.shape[1:]), flat)
 
@@ -246,7 +254,8 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), (l, aux)
 
-            idxs = perm.reshape(cfg.n_minibatches, G // cfg.n_minibatches)
+            idxs = perm[:used].reshape(cfg.n_minibatches,
+                                       used // cfg.n_minibatches)
             (params, opt_state), (ls, auxs) = jax.lax.scan(
                 minibatch, (params, opt_state), idxs)
             return (params, opt_state, key), (ls, auxs)

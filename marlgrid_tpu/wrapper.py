@@ -398,17 +398,30 @@ class GymnasiumMultiGridEnv(MultiGridEnv):
 
     ``reset(seed=, options=) -> (obs_tuple, info)``;
     ``step(actions) -> (obs_tuple, rewards, terminated, truncated, info)``
-    with ``truncated`` = the shared done came from the step limit and
-    ``terminated`` = it came from agent deactivation (or reset_on_cycle).
-    Observations/rewards stay per-agent tuples (multi-agent env)."""
+    with ``truncated`` = the step limit was hit and ``terminated`` = the
+    episode genuinely ended (every agent inactive with no pending spawn,
+    or a ``reset_on_cycle`` completion) — both can be true when they
+    coincide on the final step. Observations/rewards stay per-agent
+    tuples (multi-agent env)."""
 
     def reset(self, seed=None, options=None):
         obs = super().reset(seed=seed)
         return tuple(obs), {}
 
     def step(self, actions):
+        import numpy as _np
+
+        pre_cycles = int(_np.asarray(self.state.cycles).sum())
         obs, rew, done, info = super().step(actions)
+        p = self.params
         truncated = bool(done) and \
-            int(self.state.step_count) >= self.params.max_steps
-        terminated = bool(done) and not truncated
+            int(self.state.step_count) >= p.max_steps
+        count = int(self.state.step_count)
+        pending = any(d > 0 and d >= count
+                      for d in p.spawn_delay_tuple())
+        all_out = not bool(_np.asarray(self.state.active).any()) \
+            and not pending
+        cycled = p.reset_on_cycle and \
+            int(_np.asarray(self.state.cycles).sum()) > pre_cycles
+        terminated = bool(done) and (all_out or cycled)
         return tuple(obs), rew, terminated, truncated, info

@@ -166,3 +166,30 @@ def test_gymnasium_5tuple_adapter():
     env2.place_agent(0, top=(4, 5), size=(1, 1), dir=0)
     _, rew, terminated, truncated, _ = env2.step([C.FORWARD])
     assert terminated and not truncated and rew[0] == 1.0
+
+
+def test_gymnasium_make_render_mode():
+    import gymnasium
+
+    env = gymnasium.make("MarlGrid-3AgentCluttered15x15-v0",
+                         render_mode="rgb_array")
+    base = env.unwrapped if hasattr(env, "unwrapped") else env
+    assert base.render_mode == "rgb_array"
+    base.reset()
+    assert base.render().shape[-1] == 3
+
+
+def test_gymnasium_adapter_terminal_at_step_limit():
+    """Goal reached exactly when the step limit hits: both flags true."""
+    from marlgrid_tpu.wrapper import GymnasiumMultiGridEnv
+
+    env = GymnasiumMultiGridEnv(grid_size=9, max_steps=1, seed=0,
+                                reward_decay=False)
+    env.reset(seed=3)
+    enc = env.encode()
+    for x, y in zip(*np.nonzero(enc[..., 0] == C.GOAL)):
+        env._set_cell_host(int(x), int(y), (C.EMPTY, 0, 0))
+    env.place_obj((C.GOAL, 3, 0), top=(5, 5), size=(1, 1))
+    env.place_agent(0, top=(4, 5), size=(1, 1), dir=0)
+    _, rew, terminated, truncated, _ = env.step([C.FORWARD])
+    assert terminated and truncated and rew[0] == 1.0

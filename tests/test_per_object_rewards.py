@@ -174,3 +174,32 @@ def test_unrepresentable_goal_reward_raises():
         grid_gen.encode_obj_cell(O.Goal(reward=9.0), p2)
     with pytest.raises(ValueError, match="bonus_rewards"):
         grid_gen.encode_obj_cell(O.BonusTile(bonus_id=0, reward=7.0), params)
+
+
+def test_default_goal_defers_to_params_reward():
+    """Goal() without an explicit reward pays params.goal_reward — custom
+    scenarios written before per-object rewards keep working."""
+
+    def _engine(params, layers, split_x, door_y):
+        return layers, [O.Goal()], None
+
+    def _oracle(oracle):
+        oracle._place_obj(O.Goal())
+        return None
+
+    grid_gen.register_scenario("defergoal", _engine, 1,
+                               oracle_builder=_oracle)
+    params = EnvParams(width=9, height=9, n_agents=1, scenario="defergoal",
+                       goal_reward=0.5, reward_decay=False, max_steps=30,
+                       agent_colors=default_agent_colors(1),
+                       observation_style="encode")
+    env = MultiGridEnv(params=params)
+    env.reset(seed=1)
+    enc = env.encode()
+    for x, y in zip(*np.nonzero(enc[..., 0] == C.GOAL)):
+        env._set_cell_host(int(x), int(y), (C.EMPTY, 0, 0))
+    env.place_obj(O.Goal(), top=(5, 5), size=(1, 1))
+    assert env.encode()[5, 5, 2] == 0        # state stays 0 (uniform pay)
+    env.place_agent(0, top=(4, 5), size=(1, 1), dir=0)
+    _, rew, _, _ = env.step([C.FORWARD])
+    np.testing.assert_allclose(rew, [0.5])

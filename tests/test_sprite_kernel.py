@@ -115,3 +115,25 @@ def test_custom_scenario_palette_hook():
     got = obs_mod.all_obs_image_b(params, state, bl, al,
                                   sprite_interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_bminor_layout_consistent_on_fallback():
+    """bminor=True returns (N, B, ...) on BOTH the kernel and XLA paths."""
+    params = EnvParams(width=9, height=9, n_agents=2, scenario="empty",
+                       observation_style="image",
+                       agent_colors=default_agent_colors(2))
+    state = _rollout_states(params, 8, 2, seed=1)
+    bl = jnp.asarray(rendering.base_lut(params.view_tile_size))
+    al = jnp.asarray(rendering.agent_lut(params.view_tile_size))
+    xla_nb = obs_mod.all_obs_image_b(params, state, bl, al, force_xla=True,
+                                     bminor=True)
+    ker_nb = obs_mod.all_obs_image_b(params, state, bl, al,
+                                     sprite_interpret=True, bminor=True)
+    assert xla_nb.shape[0] == 2 and xla_nb.shape[1] == 8
+    np.testing.assert_array_equal(np.asarray(ker_nb), np.asarray(xla_nb))
+    # odd batch (not divisible by 16) works in interpret mode (bc fallback)
+    state9 = _rollout_states(params, 9, 1, seed=2)
+    got = obs_mod.all_obs_image_b(params, state9, bl, al,
+                                  sprite_interpret=True)
+    ref = obs_mod.all_obs_image_b(params, state9, bl, al, force_xla=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
