@@ -45,16 +45,25 @@ class OneHotEmbed(nn.Module):
     dtype: "object" = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, obs):  # (..., vs, vs, 3) int
-        lead = obs.shape[:-3]
-        cells = obs.shape[-3] * obs.shape[-2]
-        o = obs.reshape(lead + (cells, 3))
+    def __call__(self, obs, channel_first: bool = False):
+        # obs: (..., vs, vs, 3) int — or (..., 3, vs, vs) with
+        # channel_first=True (the PPO update feeds batch-minor-stored
+        # trajectories whose per-sample feature order is (c, vi, vj));
+        # both index the same per-cell weights, so params are shared
+        if channel_first:
+            lead = obs.shape[:-3]
+            cells = obs.shape[-2] * obs.shape[-1]
+            o = obs.reshape(lead + (3, cells))
+        else:
+            lead = obs.shape[:-3]
+            cells = obs.shape[-3] * obs.shape[-2]
+            o = obs.reshape(lead + (cells, 3))
         nb = len(lead)
         dn = (((nb, nb + 1), (0, 1)), ((), ()))
         out = None
         widths = (C.N_TYPES + 1, C.N_COLORS + 1, N_STATE_CODES)
         for i, n in enumerate(widths):
-            code = o[..., i]
+            code = o[..., i, :] if channel_first else o[..., i]
             if i == 2:
                 code = jnp.clip(code, 0, N_STATE_CODES - 1)
             oh = (code[..., None] == jnp.arange(n)).astype(self.dtype)
@@ -78,9 +87,13 @@ class ActorCritic(nn.Module):
     cfg: "object"  # PPOConfig-like: hidden/channels/dtype/torso fields
 
     @nn.compact
-    def __call__(self, obs):  # obs: (..., vs, vs, 3) int32
+    def __call__(self, obs, channel_first: bool = False):
+        # obs: (..., vs, vs, 3) int32 ((..., 3, vs, vs) with channel_first;
+        # mlp torso only — see OneHotEmbed)
         cfg = self.cfg
         torso = getattr(cfg, "torso", "mlp")
+        assert not (channel_first and torso != "mlp"), \
+            "channel_first input is an mlp-torso (OneHotEmbed) feature"
         if torso == "cnn":
             x = onehot_features(obs, cfg.dtype)
             for ch in cfg.channels:
@@ -99,7 +112,7 @@ class ActorCritic(nn.Module):
             x = x.reshape(*x.shape[:-3], -1)
         else:
             x = nn.relu(OneHotEmbed(cfg.hidden, cfg.dtype,
-                                    name="torso0")(obs))
+                                    name="torso0")(obs, channel_first))
         x = nn.relu(nn.Dense(cfg.hidden, dtype=cfg.dtype, name="torso")(x))
         # 'model'-axis tensor parallelism: GSPMD shards this dense pair when
         # the caller constrains params/activations over the mesh.

@@ -44,3 +44,32 @@ def transpose_bk(x: jax.Array) -> jax.Array:
     if jax.default_backend() == "tpu" and B % _BB == 0:
         return _pallas_t(x, _BB)
     return x.T
+
+
+def _tkernel4(x_ref, o_ref):
+    o_ref[0, 0] = x_ref[0, 0].T
+
+
+@functools.partial(jax.jit, static_argnames=("bb",))
+def _pallas_t4(x, bb: int):
+    T, N, F, B = x.shape
+    return pl.pallas_call(
+        _tkernel4,
+        grid=(N, T, B // bb),
+        in_specs=[pl.BlockSpec((1, 1, F, bb), lambda n, t, i: (t, n, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, bb, F), lambda n, t, i: (n, t, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, T, B, F), x.dtype),
+    )(x)
+
+
+def transpose_traj(x: jax.Array) -> jax.Array:
+    """(T, N, F, B) -> (N, T, B, F): the ONE bulk lane->sublane swap of a
+    batch-minor-stored trajectory (e.g. PPO observations) into sample-major
+    rows, done once per iteration at copy rate instead of per scan step
+    (XLA's per-step buffer relayout measured 23 ms/iter at B=4096)."""
+    T, N, F, B = x.shape
+    if jax.default_backend() == "tpu" and B % _BB == 0:
+        return _pallas_t4(x, _BB)
+    return x.transpose(1, 0, 3, 2)

@@ -104,8 +104,24 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
     else:
         luts = ()
 
+    # encode obs trajectories are STORED batch-minor — (N, 3*vs*vs, B) per
+    # step, exactly the layout the obs pipeline produces — and bulk-swapped
+    # to sample-major rows ONCE per update (ops.transpose_traj). Storing
+    # batch-major invited XLA to relayout the buffer on every scan-step
+    # write (measured 23 ms/iter at B=4096). Image obs keep the row store
+    # (the CNN consumes channel-last rows).
+    bm_store = env_params.observation_style == "encode"
+
     def obs_of(state):
-        return obs_mod.all_agent_obs_b(env_params, state, *luts)
+        """(batch-major obs for the policy, batch-minor store form)."""
+        if bm_store:
+            bm = obs_mod.all_agent_obs_b(env_params, state, bminor=True)
+            major = bm.transpose(4, 1, 2, 3, 0)        # (B, N, vs, vs, 3)
+            store = bm.transpose(1, 0, 2, 3, 4).reshape(
+                N, 3 * env_params.view_size ** 2, B).astype(jnp.uint8)
+            return major, store
+        major = obs_mod.all_agent_obs_b(env_params, state, *luts)
+        return major, major.reshape(B * N, -1).astype(jnp.uint8)
 
     def constrain(tree):
         if mesh is None:
@@ -115,7 +131,7 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
                 x, jax.sharding.NamedSharding(mesh, P("data"))), tree)
 
     def rollout(params, env_state, key):
-        obs0 = obs_of(env_state)
+        obs0 = obs_of(env_state)          # (policy obs, store form) pair
         # one fresh board per scan step, generated vmapped OUTSIDE the scan
         # (an unbatched reset inside the scan body is a serial event chain
         # of tiny kernels — it dominated the rollout at ~1 ms/step; same
@@ -128,7 +144,7 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
             jax.random.split(fk, T))
 
         def body(carry, fresh_t):
-            env_state, obs, key = carry
+            env_state, (obs, store), key = carry
             key, ak = jax.random.split(key)
             logits, value = net.apply(params, obs)      # (B, N, A), (B, N)
             if axis is None:
@@ -148,28 +164,32 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
             off = 0 if axis is None else jax.lax.axis_index(axis) * B
             env_state, rew, done, info = step_mod.step_autoreset_with_fresh(
                 env_params, env_state, a, fresh_t, env_offset=off)
-            nobs = obs_of(env_state)
             env_state = constrain(env_state)
-            # Trajectory obs are stored FLAT uint8 (codes <= 176): a
-            # (T, B, N, vs, vs, 3) int32 buffer tiles its two tiny minor
-            # dims onto (8, 128) and pads ~32x — 19.7 GB at B=4096/T=64,
-            # a measured HBM OOM. Flat (T, B*N, vs*vs*3) uint8 is ~270 MB.
-            tr = dict(obs=obs.reshape(B * N, -1).astype(jnp.uint8),
-                      act=a, logp=logp_a, val=value, rew=rew,
+            # ``store`` is the PRE-step obs (paired with the action taken
+            # from it). Trajectory obs are stored uint8 (codes <= 176): an
+            # int32 (T, B, N, vs, vs, 3) buffer pads ~32x on TPU tiles — a
+            # measured HBM OOM at B=4096/T=64.
+            tr = dict(obs=store, act=a, logp=logp_a, val=value, rew=rew,
                       done=done, ep_ret=info["episode_return"],
                       ep_len=info["episode_length"],
                       ep_cyc=info["episode_cycles"])
-            return (env_state, nobs, key), tr
+            return (env_state, obs_of(env_state), key), tr
 
-        (env_state, last_obs, key), traj = jax.lax.scan(
+        (env_state, (last_obs, _), key), traj = jax.lax.scan(
             body, (env_state, obs0, key), fresh)
         _, last_value = net.apply(params, last_obs)
         return env_state, key, traj, last_value
 
     def loss_fn(params, batch):
         shape, dtype = obs_spec(env_params)
-        obs = batch["obs"].astype(dtype).reshape((-1,) + shape)
-        logits, value = net.apply(params, obs)
+        if bm_store:
+            # batch-minor-stored rows carry (c, vi, vj)-ordered features
+            vs = env_params.view_size
+            obs = batch["obs"].astype(dtype).reshape(-1, 3, vs, vs)
+            logits, value = net.apply(params, obs, channel_first=True)
+        else:
+            obs = batch["obs"].astype(dtype).reshape((-1,) + shape)
+            logits, value = net.apply(params, obs)
         logp = jax.nn.log_softmax(logits)
         # one-hot select (gather-free; the take_along_axis formulation's
         # jvp gather measured 16 ms/iter on TPU)
@@ -194,7 +214,13 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
                                (v_clipped - batch["ret"]) ** 2).mean()
         ent = -(jax.nn.softmax(logits) * logp).sum(-1).mean()
         total = pg + cfg.vf_coef * vf - cfg.ent_coef * ent
-        return total, dict(pg_loss=pg, vf_loss=vf, entropy=ent)
+        # |ratio-1| on the FIRST minibatch of an update is a row-alignment
+        # sanity signal: stored logp recomputed from stored obs at the same
+        # params must agree (tests pin it; drift here means trajectory rows
+        # got mispaired somewhere in the storage/relayout plumbing)
+        ratio_dev = jnp.abs(ratio - 1.0).mean()
+        return total, dict(pg_loss=pg, vf_loss=vf, entropy=ent,
+                           ratio_dev=ratio_dev)
 
     def update(params, opt_state, traj, last_value, key):
         # fold agents into the batch: each agent is an independent sample
@@ -203,14 +229,34 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
         done = jnp.repeat(traj["done"][..., None], N, -1).reshape(T, B * N)
         adv, ret = _gae(rew, val, done, last_value.reshape(B * N),
                         cfg.gamma, cfg.gae_lambda)
-        flat = dict(
-            obs=traj["obs"].reshape(T * B * N, -1),
-            act=traj["act"].reshape(T * B * N),
-            logp=traj["logp"].reshape(T * B * N),
-            val=val.reshape(T * B * N),
-            adv=adv.reshape(T * B * N),
-            ret=ret.reshape(T * B * N),
-        )
+        if bm_store:
+            # obs arrive (T, N, F, B) batch-minor; ONE bulk lane->sublane
+            # swap to sample-major rows (ops.transpose_traj), with every
+            # other leaf reordered to the same (n, t, b) row order
+            from ..ops.transpose import transpose_traj
+
+            obs_rows = transpose_traj(traj["obs"]).reshape(T * B * N, -1)
+
+            def rows(x):                      # (T, B, N) -> (n, t, b) flat
+                return x.reshape(T, B, N).transpose(2, 0, 1).reshape(-1)
+
+            flat = dict(
+                obs=obs_rows,
+                act=rows(traj["act"]),
+                logp=rows(traj["logp"]),
+                val=rows(val),
+                adv=rows(adv),
+                ret=rows(ret),
+            )
+        else:
+            flat = dict(
+                obs=traj["obs"].reshape(T * B * N, -1),
+                act=traj["act"].reshape(T * B * N),
+                logp=traj["logp"].reshape(T * B * N),
+                val=val.reshape(T * B * N),
+                adv=adv.reshape(T * B * N),
+                ret=ret.reshape(T * B * N),
+            )
         n = T * B * N
         # Block-granular shuffle: permuting G contiguous row-blocks instead
         # of n single rows turns the per-epoch minibatch gather of the
