@@ -262,6 +262,20 @@ def encode_obj_cell(obj, params: EnvParams = None):
     # uniform goal_reward/bonus_reward (Goal() keeps working under any
     # EnvParams; only Goal(reward=r) binds to the goal_rewards table)
     if not getattr(obj, "explicit_reward", True):
+        if t == C.GOAL and params.goal_rewards:
+            # with a goal_rewards table set the engine pays
+            # goal_rewards[state], so a bare Goal() must encode the
+            # uniform goal_reward's table index — state 0 would silently
+            # pay goal_rewards[0] instead
+            try:
+                s = params.goal_rewards.index(float(params.goal_reward))
+            except ValueError:
+                raise ValueError(
+                    f"Goal() defers to the uniform goal_reward="
+                    f"{params.goal_reward}, which is not in "
+                    f"EnvParams.goal_rewards={params.goal_rewards}; add it "
+                    f"to the table or construct Goal(reward=...) "
+                    f"explicitly") from None
         return (t, c, s)
     r = getattr(obj, "reward", None)
     if t == C.GOAL and r is not None:

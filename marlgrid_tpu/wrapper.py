@@ -239,6 +239,27 @@ class MultiGridEnv(_EnvBase):
                 out.append((x, y))
         return out
 
+    def _validate_raw_cell(self, cell):
+        """Raw (type, color, state) triples get the same table-bounds
+        checks ``encode_obj_cell`` applies to WorldObjs: a goal/bonus state
+        outside the reward tables would silently pay 0.0 through the step
+        engine's one-hot lookup (sum over an all-miss one-hot)."""
+        t, _, s = (int(v) for v in cell)
+        p = self.params
+        if t == C.GOAL and p.goal_rewards and not 0 <= s < len(p.goal_rewards):
+            raise ValueError(
+                f"goal state {s} is outside EnvParams.goal_rewards "
+                f"(len {len(p.goal_rewards)}); it would pay 0.0 reward")
+        if t == C.BONUS:
+            n = max(p.n_bonus_tiles, 1)
+            if not 0 <= s < n:
+                raise ValueError(
+                    f"bonus_id {s} is outside n_bonus_tiles={p.n_bonus_tiles}")
+            if p.bonus_rewards and s >= len(p.bonus_rewards):
+                raise ValueError(
+                    f"bonus_id {s} is outside EnvParams.bonus_rewards "
+                    f"(len {len(p.bonus_rewards)}); it would pay 0.0 reward")
+
     def _set_cell_host(self, x, y, cell):
         flat = x * self.params.height + y
         t, c_, s = (int(v) for v in cell)
@@ -258,8 +279,11 @@ class MultiGridEnv(_EnvBase):
         uniform draws all land on occupied cells, falls back to the first
         free cell in row-major order (matching SPEC §4)."""
         assert self.state is not None, "call reset() first"
-        cell = grid_gen.encode_obj_cell(obj, self.params) \
-            if hasattr(obj, "encode") else tuple(obj)
+        if hasattr(obj, "encode"):
+            cell = grid_gen.encode_obj_cell(obj, self.params)
+        else:
+            cell = tuple(obj)
+            self._validate_raw_cell(cell)
         free = self._free_cells_host(top, size, reject_fn)
         if not free:
             return None
@@ -344,14 +368,18 @@ class MultiGridEnv(_EnvBase):
                 mask[wx[i][m], wy[i][m]] = True
         return mask
 
-    def render(self, mode="rgb_array", tile_size=16, highlight=True,
+    def render(self, mode=None, tile_size=16, highlight=True,
                show_agent_views=False, **_):
-        """Full-board render (SURVEY §3.5). ``mode='human'`` displays the
-        frame through ``rendering.SimpleImageViewer`` (``marlgrid/base.py —
-        §render`` viewer [M]; PIL window when a display exists, /tmp PNG
-        frames on headless TPU hosts) and returns the image as well.
-        ``show_agent_views`` composites each agent's POV strip on the right
-        (``marlgrid/base.py — §render`` [M])."""
+        """Full-board render (SURVEY §3.5). ``mode=None`` resolves to the
+        gymnasium ``render_mode`` the env was made with (falling back to
+        'rgb_array'), so ``gymnasium.make(id, render_mode='human')`` +
+        ``env.render()`` honors the conventional contract. ``mode='human'``
+        displays the frame through ``rendering.SimpleImageViewer``
+        (``marlgrid/base.py — §render`` viewer [M]; PIL window when a
+        display exists, /tmp PNG frames on headless TPU hosts) and returns
+        the image as well. ``show_agent_views`` composites each agent's POV
+        strip on the right (``marlgrid/base.py — §render`` [M])."""
+        mode = mode or self.render_mode or "rgb_array"
         hm = self.agent_highlight_mask() if highlight else None
         img = rendering.render_board(self.params, self.state, tile_size,
                                      highlight_mask=hm)

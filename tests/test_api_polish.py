@@ -193,3 +193,52 @@ def test_gymnasium_adapter_terminal_at_step_limit():
     env.place_agent(0, top=(4, 5), size=(1, 1), dir=0)
     _, rew, terminated, truncated, _ = env.step([C.FORWARD])
     assert terminated and truncated and rew[0] == 1.0
+
+
+def test_bare_goal_encodes_uniform_reward_index():
+    """ADVICE r2: a bare Goal() under a goal_rewards table must encode the
+    uniform goal_reward's table index, not state 0."""
+    from marlgrid_tpu.objects import Goal
+
+    ep = EnvParams(width=9, height=9, n_agents=1, scenario="empty",
+                   goal_reward=1.0, goal_rewards=(0.5, 1.0, 2.0),
+                   agent_colors=default_agent_colors(1))
+    t, c, s = grid_gen.encode_obj_cell(Goal(), ep)
+    assert s == 1  # index of 1.0 in the table
+    # uniform reward absent from the table -> loud error, not silent 0.5
+    ep2 = EnvParams(width=9, height=9, n_agents=1, scenario="empty",
+                    goal_reward=1.0, goal_rewards=(0.5, 2.0),
+                    agent_colors=default_agent_colors(1))
+    import pytest
+    with pytest.raises(ValueError, match="uniform goal_reward"):
+        grid_gen.encode_obj_cell(Goal(), ep2)
+
+
+def test_place_obj_raw_triple_validated():
+    """ADVICE r2: raw (type, color, state) triples get the same reward
+    table-bounds validation as WorldObjs."""
+    import pytest
+
+    ep = EnvParams(width=9, height=9, n_agents=1, scenario="empty",
+                   goal_rewards=(1.0, 2.0),
+                   agent_colors=default_agent_colors(1))
+    env = MultiGridEnv(params=ep, seed=0)
+    env.reset()
+    with pytest.raises(ValueError, match="goal_rewards"):
+        env.place_obj((C.GOAL, 3, 7))       # state 7 outside the table
+    assert env.place_obj((C.GOAL, 3, 1)) is not None
+
+
+def test_render_honors_env_render_mode(monkeypatch):
+    """ADVICE r2: gymnasium.make(id, render_mode='human') + env.render()
+    must route through the human viewer."""
+    import gymnasium
+
+    monkeypatch.delenv("DISPLAY", raising=False)
+    env = gymnasium.make("MarlGrid-1AgentEmpty9x9-v0", render_mode="human")
+    base = env.unwrapped if hasattr(env, "unwrapped") else env
+    base.reset()
+    img = base.render()                      # no explicit mode
+    assert img.shape[-1] == 3
+    assert base._viewer is not None          # human path engaged
+    base.close()
