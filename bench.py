@@ -51,12 +51,22 @@ def engine_steps_per_sec(args, params):
         return jax.vmap(lambda k: grid_gen.reset(params, k))(
             jax.random.split(key, B))
 
+    pool = args.board_pool
+    if pool:
+        pool = max(k for k in range(1, min(pool, B) + 1) if B % k == 0)
+
     @jax.jit
     def rollout(state, key):
         # one fresh board per step, generated vmapped OUTSIDE the scan
         # (shared-board autoreset; --independent-resets buys per-env fresh
-        # boards inside the step at the cost of B resets per step)
-        if not args.independent_resets:
+        # boards inside the step at the cost of B resets per step;
+        # --board-pool K buys a K-layout pool per rollout — the training
+        # default — at K resets per rollout)
+        if pool:
+            fresh_b = step_mod.fresh_pool_tiled(
+                params, jax.random.fold_in(key, 0xF), pool, B)
+            fresh = jnp.arange(T)     # scan over step index
+        elif not args.independent_resets:
             fresh_keys = jax.random.split(jax.random.fold_in(key, 0xF), T)
             fresh = jax.vmap(lambda k: grid_gen.reset(params, k))(fresh_keys)
         else:
@@ -66,7 +76,13 @@ def engine_steps_per_sec(args, params):
             state, key, acc = carry
             key, ak = jax.random.split(key)
             a = jax.random.randint(ak, (B, params.n_agents), 0, 7)
-            if args.independent_resets:
+            if pool:
+                state, rew, done, _ = \
+                    step_mod.step_autoreset_with_fresh_batch(
+                        params, state, a,
+                        step_mod.rotate_fresh_batch(fresh_b, fresh_t),
+                        salt=fresh_t)
+            elif args.independent_resets:
                 state, rew, done, _ = jax.vmap(
                     lambda s, aa: step_mod.step_autoreset(params, s, aa)
                 )(state, a)
@@ -146,6 +162,10 @@ def main(argv=None):
     p.add_argument("--independent-resets", action="store_true",
                    help="per-env fresh boards on autoreset (vs the default "
                         "shared-board variant); quantifies the tradeoff")
+    p.add_argument("--board-pool", type=int, default=0,
+                   help="K-layout fresh-board pool per rollout (the PPO "
+                        "training default, K=256); quantifies the pool's "
+                        "cost vs the shared-board variant")
     p.add_argument("--trace", default=None,
                    help="profile one rep into this dir + print hotspots")
     p.add_argument("--compile-cache", default=None,

@@ -301,6 +301,74 @@ def step_autoreset_with_fresh(params: EnvParams, state: EnvState, actions,
     return _select_fresh(stepped, rew, done, fresh, env_offset)
 
 
+def fresh_pool_tiled(params: EnvParams, key, n_pool: int, batch: int):
+    """Batched fresh boards from a K-layout pool: (batch, …) EnvState where
+    env i carries layout ``i % n_pool``.
+
+    The shared-board autoreset (one fresh layout per step) phase-locks every
+    env finishing on the same step onto ONE board — a training-diversity
+    problem when episodes synchronize (all B envs resetting together see a
+    single layout per generation). A K-board pool restores layout diversity
+    at K resets per rollout instead of B per step (the measured 10.5x cost
+    of fully independent resets — BASELINE.md row 3r). Callers rotate the
+    assignment over time with ``rotate_fresh_batch``.
+    """
+    assert batch % n_pool == 0, (batch, n_pool)
+    pool = jax.vmap(lambda k: reset(params, k))(
+        jax.random.split(key, n_pool))
+    return jax.tree.map(
+        lambda x: jnp.tile(x, (batch // n_pool,) + (1,) * (x.ndim - 1)),
+        pool)
+
+
+def rotate_fresh_batch(fresh_b: EnvState, t):
+    """Rotate the pool->env assignment by ``t`` (traced ok): env i sees
+    layout (i + t) % n_pool, so an env resetting twice inside one rollout
+    gets two different boards. A roll is two contiguous slices — no gather."""
+    return jax.tree.map(lambda x: jnp.roll(x, t, axis=0), fresh_b)
+
+
+def step_autoreset_with_fresh_batch(params: EnvParams, state: EnvState,
+                                    actions, fresh_b: EnvState,
+                                    env_offset=0, salt=0):
+    """Pool-diversity autoreset: like ``step_autoreset_with_fresh`` but the
+    caller provides a BATCHED fresh state (B, …) — env i that finishes
+    restarts on ``fresh_b[i]`` (see ``fresh_pool_tiled``). ``salt`` (e.g.
+    the rollout step index) is folded into the post-reset step keys so an
+    env re-drawing the same pool layout at a later step still diverges.
+    """
+    stepped, rew, done = jax.vmap(
+        lambda s, a: step(params, s, a))(state, actions)
+    B = done.shape[0]
+
+    def sel(a, b):
+        return jnp.where(done.reshape((B,) + (1,) * (b.ndim - 1)), b, a)
+
+    new_state = jax.tree.map(sel, stepped, fresh_b)
+    env_keys = jax.vmap(rng.fold_in)(
+        fresh_b.key, env_offset + jnp.arange(B))
+    env_keys = jax.vmap(rng.fold_in, (0, None))(env_keys, salt)
+    new_state.key = jnp.where(done[:, None], env_keys, stepped.key)
+    info = {
+        "episode_return": jnp.where(done, stepped.accum_reward.sum(-1), 0.0),
+        "episode_length": jnp.where(done, stepped.step_count, 0),
+        "episode_cycles": jnp.where(done, stepped.cycles.sum(-1), 0),
+    }
+    return new_state, rew, done, info
+
+
+def stagger_step_counts(state: EnvState, max_steps: int):
+    """Spread initial episode phases evenly over the batch: env i starts at
+    step_count i*max_steps//B, so first episodes truncate at staggered
+    lengths and completions stream instead of bursting in lockstep (the
+    whole batch finishing — and resetting — on the same step every
+    generation). Training-init only; parity paths never call this."""
+    B = state.step_count.shape[0]
+    state.step_count = (jnp.arange(B, dtype=jnp.int32)
+                        * max_steps) // B
+    return state
+
+
 def _select_fresh(stepped: EnvState, rew, done, fresh: EnvState,
                   env_offset=0):
     B = done.shape[0]

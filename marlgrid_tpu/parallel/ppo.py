@@ -40,6 +40,13 @@ class PPOConfig:
     channels: Tuple[int, ...] = (32, 64)
     torso: str = "mlp"  # 'mlp' (one big MXU GEMM) | 'cnn'
     dtype: Any = jnp.bfloat16  # MXU-friendly compute dtype
+    # training-batch layout diversity: envs resetting on the same step draw
+    # from a pool of board_pool distinct fresh layouts (1 == the old
+    # shared-board behavior: every env finishing a step gets THE one board,
+    # phase-locking the whole batch onto a single layout per episode
+    # generation). Cost is board_pool resets per rollout — measured ~
+    # nothing vs the 10.5x of fully independent resets (bench --board-pool).
+    board_pool: int = 256
 
 
 def obs_spec(env_params: EnvParams):
@@ -130,21 +137,28 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
             lambda x: jax.lax.with_sharding_constraint(
                 x, jax.sharding.NamedSharding(mesh, P("data"))), tree)
 
+    # board-pool size: the largest divisor of the (local) batch that does
+    # not exceed cfg.board_pool (static; B is a power of two in practice)
+    K = max(k for k in range(1, min(cfg.board_pool, B) + 1) if B % k == 0)
+
     def rollout(params, env_state, key):
         obs0 = obs_of(env_state)          # (policy obs, store form) pair
-        # one fresh board per scan step, generated vmapped OUTSIDE the scan
+        # a K-layout fresh-board pool, generated vmapped OUTSIDE the scan
         # (an unbatched reset inside the scan body is a serial event chain
-        # of tiny kernels — it dominated the rollout at ~1 ms/step; same
-        # fix as bench.py's step_autoreset_with_fresh path)
+        # of tiny kernels — it dominated the rollout at ~1 ms/step). Env i
+        # resetting at step t restarts on layout (i + t) % K — layout
+        # diversity across the batch instead of the shared-board
+        # phase-lock (one layout per episode generation, VERDICT r2).
         key, fk = jax.random.split(key)
         if axis is not None:
             # distinct fresh-board layouts per shard (the key is replicated)
             fk = jax.random.fold_in(fk, jax.lax.axis_index(axis))
-        fresh = jax.vmap(lambda k: grid_gen.reset(env_params, k))(
-            jax.random.split(fk, T))
+        fresh_b = step_mod.fresh_pool_tiled(env_params, fk, K, B)
+        fresh_b = constrain(fresh_b)
 
-        def body(carry, fresh_t):
+        def body(carry, t):
             env_state, (obs, store), key = carry
+            fresh_t = step_mod.rotate_fresh_batch(fresh_b, t)
             key, ak = jax.random.split(key)
             logits, value = net.apply(params, obs)      # (B, N, A), (B, N)
             if axis is None:
@@ -162,8 +176,10 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
             logp_a = (logp * (a[..., None] == jnp.arange(logp.shape[-1]))
                       ).sum(-1)
             off = 0 if axis is None else jax.lax.axis_index(axis) * B
-            env_state, rew, done, info = step_mod.step_autoreset_with_fresh(
-                env_params, env_state, a, fresh_t, env_offset=off)
+            env_state, rew, done, info = \
+                step_mod.step_autoreset_with_fresh_batch(
+                    env_params, env_state, a, fresh_t, env_offset=off,
+                    salt=t)
             env_state = constrain(env_state)
             # ``store`` is the PRE-step obs (paired with the action taken
             # from it). Trajectory obs are stored uint8 (codes <= 176): an
@@ -176,7 +192,7 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
             return (env_state, obs_of(env_state), key), tr
 
         (env_state, (last_obs, _), key), traj = jax.lax.scan(
-            body, (env_state, obs0, key), fresh)
+            body, (env_state, obs0, key), jnp.arange(T))
         _, last_value = net.apply(params, last_obs)
         return env_state, key, traj, last_value
 
@@ -365,10 +381,25 @@ def make_train_step_shard_map(env_params: EnvParams, cfg: PPOConfig, net,
     return jax.jit(fn, donate_argnums=(0, 1, 2))
 
 
-def init_env_batch(env_params: EnvParams, n_envs: int, key, mesh=None):
-    """Vmapped reset of the env batch, optionally sharded over 'data'."""
+def init_env_batch(env_params: EnvParams, n_envs: int, key, mesh=None,
+                   stagger: bool = True):
+    """Vmapped reset of the env batch, optionally sharded over 'data'.
+
+    ``stagger=True`` (training default) spreads initial episode phases
+    evenly over the batch (env i starts at step_count i*max_steps//B) so
+    episode completions stream instead of the whole batch finishing — and
+    resetting — in synchronized bursts every max_steps steps (VERDICT r2:
+    the burst pattern showed as n_episodes alternating B and 0)."""
     keys = jax.random.split(key, n_envs)
     if mesh is not None:
         keys = jax.lax.with_sharding_constraint(
             keys, jax.sharding.NamedSharding(mesh, P("data")))
-    return jax.jit(jax.vmap(lambda k: grid_gen.reset(env_params, k)))(keys)
+
+    def init(keys):
+        state = jax.vmap(lambda k: grid_gen.reset(env_params, k))(keys)
+        if stagger:
+            state = step_mod.stagger_step_counts(state,
+                                                 env_params.max_steps)
+        return state
+
+    return jax.jit(init)(keys)

@@ -42,6 +42,13 @@ def parse_args(argv=None):
                         "cnn_image for image obs)")
     p.add_argument("--epochs", type=int, default=2)
     p.add_argument("--minibatches", type=int, default=4)
+    p.add_argument("--board-pool", type=int, default=256,
+                   help="fresh-board layout pool per rollout (1 = the old "
+                        "shared-board autoreset: every env resetting on a "
+                        "step gets ONE layout)")
+    p.add_argument("--no-stagger", action="store_true",
+                   help="disable staggered initial episode phases "
+                        "(synchronized first-episode completions)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--model-shards", type=int, default=1)
     p.add_argument("--metrics", default=None, help="JSONL metrics path")
@@ -78,13 +85,15 @@ def main(argv=None):
     torso = args.torso or ("cnn_image" if args.obs == "image" else "mlp")
     cfg = ppo.PPOConfig(n_envs=args.envs, rollout_len=args.rollout,
                         lr=args.lr, torso=torso, n_epochs=args.epochs,
-                        n_minibatches=args.minibatches)
+                        n_minibatches=args.minibatches,
+                        board_pool=args.board_pool)
     mesh = make_mesh(n_model=args.model_shards)
 
     key = jax.random.PRNGKey(args.seed)
     net, params, tx, opt_state = ppo.init_state(ep, cfg, key)
     env_state = ppo.init_env_batch(ep, cfg.n_envs,
-                                   jax.random.fold_in(key, 1), mesh)
+                                   jax.random.fold_in(key, 1), mesh,
+                                   stagger=not args.no_stagger)
     key = jax.random.fold_in(key, 2)
     if args.resume:
         try:

@@ -23,7 +23,12 @@ from marlgrid_tpu.parallel.mesh import make_mesh
 def _run(mesh, cfg, ep, n_steps=2):
     key = jax.random.PRNGKey(0)
     net, params, tx, opt_state = ppo.init_state(ep, cfg, key)
-    env_state = ppo.init_env_batch(ep, cfg.n_envs, jax.random.fold_in(key, 1))
+    # stagger=False: the equivalence test pins trajectories with NO resets
+    # (fresh-board pools are per-shard by design, so shard-count
+    # equivalence is a no-reset property); staggered init would advance
+    # step counts toward max_steps
+    env_state = ppo.init_env_batch(ep, cfg.n_envs, jax.random.fold_in(key, 1),
+                                   stagger=False)
     step = ppo.make_train_step_shard_map(ep, cfg, net, tx, mesh)
     for _ in range(n_steps):
         params, opt_state, env_state, key, m = step(params, opt_state,
