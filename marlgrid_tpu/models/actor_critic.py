@@ -45,11 +45,41 @@ class OneHotEmbed(nn.Module):
     dtype: "object" = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, obs, channel_first: bool = False):
+    def __call__(self, obs, channel_first: bool = False,
+                 feature_major: bool = False):
         # obs: (..., vs, vs, 3) int — or (..., 3, vs, vs) with
-        # channel_first=True (the PPO update feeds batch-minor-stored
-        # trajectories whose per-sample feature order is (c, vi, vj));
-        # both index the same per-cell weights, so params are shared
+        # channel_first=True (per-sample feature order (c, vi, vj));
+        # or (..., 3*vs*vs, S) with feature_major=True: samples S on the
+        # MINOR (lane) axis, features on sublanes — the layout the batched
+        # obs pipeline produces and the PPO trajectory store keeps, so the
+        # first contraction consumes it directly and NO uint8
+        # lane<->sublane transpose exists anywhere in the encode PPO path
+        # (the bulk store relayout measured ~23 ms/iter at B=4096).
+        # All three orderings index the same per-cell weights.
+        if feature_major:
+            lead = obs.shape[:-2]
+            S = obs.shape[-1]
+            cells = obs.shape[-2] // 3
+            o = obs.reshape(lead + (3, cells, S))
+            nb = len(lead)
+            # contract (cells, n) jointly; result (lead..., S, features)
+            dn = (((nb, nb + 1), (0, 1)), ((), ()))
+            out = None
+            widths = (C.N_TYPES + 1, C.N_COLORS + 1, N_STATE_CODES)
+            for i, n in enumerate(widths):
+                code = o[..., i, :, :]                     # (lead, cells, S)
+                if i == 2:
+                    code = jnp.clip(code, 0, N_STATE_CODES - 1)
+                oh = (code[..., None, :] == jnp.arange(n)[:, None]) \
+                    .astype(self.dtype)                    # (lead,cells,n,S)
+                w = self.param(f"w{i}", nn.initializers.lecun_normal(),
+                               (cells * n, self.features)).reshape(
+                                   cells, n, self.features)
+                y = jax.lax.dot_general(oh, w.astype(self.dtype), dn,
+                                        preferred_element_type=self.dtype)
+                out = y if out is None else out + y
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            return out + b.astype(self.dtype)
         if channel_first:
             lead = obs.shape[:-3]
             cells = obs.shape[-2] * obs.shape[-1]
@@ -87,13 +117,16 @@ class ActorCritic(nn.Module):
     cfg: "object"  # PPOConfig-like: hidden/channels/dtype/torso fields
 
     @nn.compact
-    def __call__(self, obs, channel_first: bool = False):
-        # obs: (..., vs, vs, 3) int32 ((..., 3, vs, vs) with channel_first;
+    def __call__(self, obs, channel_first: bool = False,
+                 feature_major: bool = False):
+        # obs: (..., vs, vs, 3) int32 ((..., 3, vs, vs) with channel_first,
+        # (..., 3*vs*vs, S) with feature_major — samples on lanes;
         # mlp torso only — see OneHotEmbed)
         cfg = self.cfg
         torso = getattr(cfg, "torso", "mlp")
-        assert not (channel_first and torso != "mlp"), \
-            "channel_first input is an mlp-torso (OneHotEmbed) feature"
+        assert not ((channel_first or feature_major) and torso != "mlp"), \
+            "channel_first/feature_major input is an mlp-torso " \
+            "(OneHotEmbed) feature"
         if torso == "cnn":
             x = onehot_features(obs, cfg.dtype)
             for ch in cfg.channels:
@@ -112,7 +145,8 @@ class ActorCritic(nn.Module):
             x = x.reshape(*x.shape[:-3], -1)
         else:
             x = nn.relu(OneHotEmbed(cfg.hidden, cfg.dtype,
-                                    name="torso0")(obs, channel_first))
+                                    name="torso0")(obs, channel_first,
+                                                   feature_major))
         x = nn.relu(nn.Dense(cfg.hidden, dtype=cfg.dtype, name="torso")(x))
         # 'model'-axis tensor parallelism: GSPMD shards this dense pair when
         # the caller constrains params/activations over the mesh.

@@ -111,22 +111,26 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
     else:
         luts = ()
 
-    # encode obs trajectories are STORED batch-minor — (N, 3*vs*vs, B) per
-    # step, exactly the layout the obs pipeline produces — and bulk-swapped
-    # to sample-major rows ONCE per update (ops.transpose_traj). Storing
-    # batch-major invited XLA to relayout the buffer on every scan-step
-    # write (measured 23 ms/iter at B=4096). Image obs keep the row store
-    # (the CNN consumes channel-last rows).
-    bm_store = env_params.observation_style == "encode"
+    # encode obs live FEATURE-MAJOR end to end: the obs pipeline produces
+    # (3, N, vs, vs, B) batch-minor, the policy contracts the feature axis
+    # directly (OneHotEmbed feature_major), the trajectory stores the same
+    # (N, F, B) uint8 layout, and the update's minibatch GEMMs contract it
+    # as-is — NO uint8 lane<->sublane transpose anywhere (the round-2 bulk
+    # store relayout measured ~23 ms/iter at B=4096; the per-step
+    # batch-major policy transpose another ~0.15 MB x T x N). Image obs
+    # keep the row store (the CNN consumes channel-last rows); so does the
+    # 'cnn' torso on encode obs (onehot_features wants channel-last).
+    bm_store = (env_params.observation_style == "encode"
+                and cfg.torso == "mlp")
 
     def obs_of(state):
-        """(batch-major obs for the policy, batch-minor store form)."""
+        """(policy-input obs, uint8 store form) — both feature-major
+        (N, 3*vs*vs, B) on the encode/mlp path."""
         if bm_store:
             bm = obs_mod.all_agent_obs_b(env_params, state, bminor=True)
-            major = bm.transpose(4, 1, 2, 3, 0)        # (B, N, vs, vs, 3)
-            store = bm.transpose(1, 0, 2, 3, 4).reshape(
-                N, 3 * env_params.view_size ** 2, B).astype(jnp.uint8)
-            return major, store
+            fm = bm.transpose(1, 0, 2, 3, 4).reshape(
+                N, 3 * env_params.view_size ** 2, B)
+            return fm, fm.astype(jnp.uint8)
         major = obs_mod.all_agent_obs_b(env_params, state, *luts)
         return major, major.reshape(B * N, -1).astype(jnp.uint8)
 
@@ -160,32 +164,43 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
             env_state, (obs, store), key = carry
             fresh_t = step_mod.rotate_fresh_batch(fresh_b, t)
             key, ak = jax.random.split(key)
-            logits, value = net.apply(params, obs)      # (B, N, A), (B, N)
+            if bm_store:
+                # feature-major apply: logits (N, B, A), value (N, B) —
+                # every trajectory leaf on this path is (N, B)-ordered
+                logits, value = net.apply(params, obs, feature_major=True)
+            else:
+                logits, value = net.apply(params, obs)  # (B, N, A), (B, N)
             if axis is None:
-                a = jax.random.categorical(ak, logits)  # (B, N)
+                a = jax.random.categorical(ak, logits)
             else:
                 # per-env action keys derived from the GLOBAL env index, so
                 # the sampled stream is independent of how the batch is
                 # sharded (shard_map variant equivalence)
                 env_ids = jax.lax.axis_index(axis) * B + jnp.arange(B)
                 akeys = jax.vmap(jax.random.fold_in, (None, 0))(ak, env_ids)
-                a = jax.vmap(jax.random.categorical)(akeys, logits)
+                if bm_store:
+                    a = jax.vmap(jax.random.categorical,
+                                 in_axes=(0, 1), out_axes=1)(akeys, logits)
+                else:
+                    a = jax.vmap(jax.random.categorical)(akeys, logits)
             logp = jax.nn.log_softmax(logits)
             # one-hot contraction, not take_along_axis: TPU gathers
             # serialize (this one measured 10 ms/iter)
             logp_a = (logp * (a[..., None] == jnp.arange(logp.shape[-1]))
                       ).sum(-1)
+            a_env = a.T if bm_store else a          # the step wants (B, N)
             off = 0 if axis is None else jax.lax.axis_index(axis) * B
             env_state, rew, done, info = \
                 step_mod.step_autoreset_with_fresh_batch(
-                    env_params, env_state, a, fresh_t, env_offset=off,
+                    env_params, env_state, a_env, fresh_t, env_offset=off,
                     salt=t)
             env_state = constrain(env_state)
             # ``store`` is the PRE-step obs (paired with the action taken
             # from it). Trajectory obs are stored uint8 (codes <= 176): an
             # int32 (T, B, N, vs, vs, 3) buffer pads ~32x on TPU tiles — a
             # measured HBM OOM at B=4096/T=64.
-            tr = dict(obs=store, act=a, logp=logp_a, val=value, rew=rew,
+            tr = dict(obs=store, act=a, logp=logp_a, val=value,
+                      rew=rew.T if bm_store else rew,
                       done=done, ep_ret=info["episode_return"],
                       ep_len=info["episode_length"],
                       ep_cyc=info["episode_cycles"])
@@ -193,17 +208,18 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
 
         (env_state, (last_obs, _), key), traj = jax.lax.scan(
             body, (env_state, obs0, key), jnp.arange(T))
-        _, last_value = net.apply(params, last_obs)
+        _, last_value = (net.apply(params, last_obs, feature_major=True)
+                         if bm_store else net.apply(params, last_obs))
         return env_state, key, traj, last_value
 
     def loss_fn(params, batch):
-        shape, dtype = obs_spec(env_params)
         if bm_store:
-            # batch-minor-stored rows carry (c, vi, vj)-ordered features
-            vs = env_params.view_size
-            obs = batch["obs"].astype(dtype).reshape(-1, 3, vs, vs)
-            logits, value = net.apply(params, obs, channel_first=True)
+            # blocks arrive feature-major (mb, F, c) uint8 — the GEMM
+            # contracts F directly; logits (mb, c, A), labels (mb, c)
+            logits, value = net.apply(params, batch["obs"],
+                                      feature_major=True)
         else:
+            shape, dtype = obs_spec(env_params)
             obs = batch["obs"].astype(dtype).reshape((-1,) + shape)
             logits, value = net.apply(params, obs)
         logp = jax.nn.log_softmax(logits)
@@ -239,30 +255,54 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
                            ratio_dev=ratio_dev)
 
     def update(params, opt_state, traj, last_value, key):
-        # fold agents into the batch: each agent is an independent sample
-        rew = traj["rew"].reshape(T, B * N)
-        val = traj["val"].reshape(T, B * N)
-        done = jnp.repeat(traj["done"][..., None], N, -1).reshape(T, B * N)
-        adv, ret = _gae(rew, val, done, last_value.reshape(B * N),
-                        cfg.gamma, cfg.gae_lambda)
+        # fold agents into the batch: each agent is an independent sample.
+        # bm_store leaves are (T, N, B); row-path leaves are (T, B, N).
         if bm_store:
-            # obs arrive (T, N, F, B) batch-minor; ONE bulk lane->sublane
-            # swap to sample-major rows (ops.transpose_traj), with every
-            # other leaf reordered to the same (n, t, b) row order
-            from ..ops.transpose import transpose_traj
+            rew = traj["rew"].reshape(T, N * B)
+            val = traj["val"].reshape(T, N * B)
+            done = jnp.broadcast_to(traj["done"][:, None, :],
+                                    (T, N, B)).reshape(T, N * B)
+        else:
+            rew = traj["rew"].reshape(T, B * N)
+            val = traj["val"].reshape(T, B * N)
+            done = jnp.repeat(traj["done"][..., None], N,
+                              -1).reshape(T, B * N)
+        adv, ret = _gae(rew, val, done, last_value.reshape(-1),
+                        cfg.gamma, cfg.gae_lambda)
+        # Block-granular shuffle: permuting G contiguous blocks instead of
+        # T*B*N single rows turns the per-epoch minibatch gather of the
+        # whole ~600 MB trajectory from a per-row random gather (serialized
+        # on TPU — it dominated the update step) into large contiguous
+        # DMAs. A minibatch is then a random set of (agent, timestep,
+        # env-range) blocks — the standard granularity for device-resident
+        # PPO.
+        if bm_store:
+            # blocks stay FEATURE-MAJOR: (G, F, c) with G = N*T*(B//c)
+            # (agent, step, env-chunk) blocks and envs on lanes — the store
+            # layout reshapes into blocks with only leading-dim swaps (B
+            # never leaves the lane dim; the round-2 bulk lane<->sublane
+            # relayout of the uint8 store measured ~23 ms/iter)
+            c = B
+            while c % 2 == 0 and c // 2 >= 128 \
+                    and N * T * (B // c) * 2 <= 8192:
+                c //= 2
+            G = N * T * (B // c)
+            assert G >= cfg.n_minibatches, \
+                f"fewer trajectory blocks ({G}) than minibatches"
+            F = traj["obs"].shape[2]
+            obs_b = traj["obs"].transpose(1, 0, 2, 3).reshape(
+                N * T, F, B // c, c).transpose(0, 2, 1, 3).reshape(G, F, c)
 
-            obs_rows = transpose_traj(traj["obs"]).reshape(T * B * N, -1)
+            def blk(x):                       # (T, N, B) -> (G, c)
+                return x.transpose(1, 0, 2).reshape(G, c)
 
-            def rows(x):                      # (T, B, N) -> (n, t, b) flat
-                return x.reshape(T, B, N).transpose(2, 0, 1).reshape(-1)
-
-            flat = dict(
-                obs=obs_rows,
-                act=rows(traj["act"]),
-                logp=rows(traj["logp"]),
-                val=rows(val),
-                adv=rows(adv),
-                ret=rows(ret),
+            blocked = dict(
+                obs=obs_b,
+                act=blk(traj["act"]),
+                logp=blk(traj["logp"]),
+                val=blk(val.reshape(T, N, B)),
+                adv=blk(adv.reshape(T, N, B)),
+                ret=blk(ret.reshape(T, N, B)),
             )
         else:
             flat = dict(
@@ -273,28 +313,21 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
                 adv=adv.reshape(T * B * N),
                 ret=ret.reshape(T * B * N),
             )
-        n = T * B * N
-        # Block-granular shuffle: permuting G contiguous row-blocks instead
-        # of n single rows turns the per-epoch minibatch gather of the
-        # whole ~600 MB trajectory from a per-row random gather (serialized
-        # on TPU — it dominated the update step) into large contiguous
-        # DMAs. A minibatch is then a random set of (timestep, env-range)
-        # blocks — the standard granularity for device-resident PPO.
-        G = 1   # largest power-of-2 divisor of n, capped at 8192 blocks
-        while G * 2 <= 8192 and n % (G * 2) == 0:
-            G *= 2
-        if G < cfg.n_minibatches:
-            # awkward n (odd agent counts etc.): fall back to row blocks
-            G = n
-        assert G >= cfg.n_minibatches, \
-            f"fewer trajectory rows ({n}) than minibatches"
-        rows = n // G
-        # like the pre-block-shuffle code, a remainder of blocks that does
-        # not fill every minibatch is dropped from the epoch (G is a power
-        # of two, so at most n_minibatches-1 blocks)
+            n = T * B * N
+            G = 1   # largest power-of-2 divisor of n, capped at 8192
+            while G * 2 <= 8192 and n % (G * 2) == 0:
+                G *= 2
+            if G < cfg.n_minibatches:
+                # awkward n (odd agent counts etc.): fall back to rows
+                G = n
+            assert G >= cfg.n_minibatches, \
+                f"fewer trajectory rows ({n}) than minibatches"
+            rows = n // G
+            blocked = jax.tree.map(
+                lambda x: x.reshape((G, rows) + x.shape[1:]), flat)
+        # a remainder of blocks that does not fill every minibatch is
+        # dropped from the epoch (at most n_minibatches-1 blocks)
         used = (G // cfg.n_minibatches) * cfg.n_minibatches
-        blocked = jax.tree.map(
-            lambda x: x.reshape((G, rows) + x.shape[1:]), flat)
 
         def epoch(carry, _):
             params, opt_state, key = carry
@@ -303,8 +336,13 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
 
             def minibatch(carry, idx):
                 params, opt_state = carry
-                batch = jax.tree.map(
-                    lambda x: x[idx].reshape((-1,) + x.shape[2:]), blocked)
+                if bm_store:
+                    # feature-major blocks are consumed whole: (mb, F, c)
+                    batch = jax.tree.map(lambda x: x[idx], blocked)
+                else:
+                    batch = jax.tree.map(
+                        lambda x: x[idx].reshape((-1,) + x.shape[2:]),
+                        blocked)
                 (l, aux), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(params, batch)
                 if axis is not None:

@@ -97,3 +97,40 @@ def test_learning_signal():
     early = np.mean(rets[2:8])
     late = np.mean(rets[-6:])
     assert late > early + 0.05, f"no learning: early={early:.3f} late={late:.3f}"
+
+
+def test_feature_major_apply_matches_row_major():
+    """OneHotEmbed feature_major (samples on lanes, features contracted
+    in place) computes the SAME function as the row-major apply — the
+    encode PPO path relies on this to skip every uint8 store relayout."""
+    cfg = ppo.PPOConfig(hidden=16, dtype=jnp.float32)
+    from marlgrid_tpu.models import ActorCritic
+
+    net = ActorCritic(cfg)
+    rng = np.random.default_rng(0)
+    vs = 5
+    obs = jnp.asarray(rng.integers(0, 12, size=(6, vs, vs, 3)), jnp.int32)
+    params = net.init(jax.random.PRNGKey(0), obs[:1])
+    lg_row, v_row = net.apply(params, obs)                   # (6, A), (6,)
+    # feature-major layout: (F, S) with F ordered (channel, vi, vj)
+    fm = obs.transpose(3, 1, 2, 0).reshape(3 * vs * vs, 6)
+    lg_fm, v_fm = net.apply(params, fm, feature_major=True)  # (6, A), (6,)
+    np.testing.assert_allclose(np.asarray(lg_fm), np.asarray(lg_row),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v_fm), np.asarray(v_row),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ratio_dev_row_alignment_feature_major():
+    """First-minibatch |ratio-1| stays ~0: stored logp recomputed from the
+    feature-major-stored obs at unchanged params must agree — drift means
+    trajectory rows got mispaired in the block plumbing."""
+    ep = EP
+    cfg = ppo.PPOConfig(n_envs=8, rollout_len=8, n_epochs=1,
+                        n_minibatches=1, lr=0.0, dtype=jnp.float32)
+    key = jax.random.PRNGKey(3)
+    net, params, tx, opt_state = ppo.init_state(ep, cfg, key)
+    env_state = ppo.init_env_batch(ep, cfg.n_envs, jax.random.fold_in(key, 1))
+    step = ppo.make_train_step(ep, cfg, net, tx)
+    _, _, _, _, m = step(params, opt_state, env_state, key)
+    assert float(m["ratio_dev"]) < 1e-4, float(m["ratio_dev"])
