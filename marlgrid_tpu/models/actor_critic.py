@@ -57,28 +57,42 @@ class OneHotEmbed(nn.Module):
         # (the bulk store relayout measured ~23 ms/iter at B=4096).
         # All three orderings index the same per-cell weights.
         if feature_major:
+            from ..ops import embed as embed_op
+
             lead = obs.shape[:-2]
             S = obs.shape[-1]
             cells = obs.shape[-2] // 3
+            widths = (C.N_TYPES + 1, C.N_COLORS + 1, N_STATE_CODES)
+            ws = [self.param(f"w{i}", nn.initializers.lecun_normal(),
+                             (cells * n, self.features)).reshape(
+                                 cells, n, self.features)
+                  for i, n in enumerate(widths)]
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            if embed_op.available(cells, S, self.features):
+                # fused Pallas path: one-hots built in VMEM, codes are the
+                # only HBM input (the XLA formulation materializes ~14x
+                # the codes' bytes of bf16 one-hots — ~36 ms/iter of the
+                # PPO step at B=4096)
+                x = obs.reshape((-1,) + obs.shape[-2:])
+                wp = embed_op.pack_weights(*ws)
+                out = embed_op.onehot_embed(
+                    x, wp, cells, embed_op._block_samples(S))
+                out = out.reshape(lead + out.shape[1:]).astype(self.dtype)
+                return out + b.astype(self.dtype)
             o = obs.reshape(lead + (3, cells, S))
             nb = len(lead)
             # contract (cells, n) jointly; result (lead..., S, features)
             dn = (((nb, nb + 1), (0, 1)), ((), ()))
             out = None
-            widths = (C.N_TYPES + 1, C.N_COLORS + 1, N_STATE_CODES)
             for i, n in enumerate(widths):
                 code = o[..., i, :, :]                     # (lead, cells, S)
                 if i == 2:
                     code = jnp.clip(code, 0, N_STATE_CODES - 1)
                 oh = (code[..., None, :] == jnp.arange(n)[:, None]) \
                     .astype(self.dtype)                    # (lead,cells,n,S)
-                w = self.param(f"w{i}", nn.initializers.lecun_normal(),
-                               (cells * n, self.features)).reshape(
-                                   cells, n, self.features)
-                y = jax.lax.dot_general(oh, w.astype(self.dtype), dn,
+                y = jax.lax.dot_general(oh, ws[i].astype(self.dtype), dn,
                                         preferred_element_type=self.dtype)
                 out = y if out is None else out + y
-            b = self.param("bias", nn.initializers.zeros, (self.features,))
             return out + b.astype(self.dtype)
         if channel_first:
             lead = obs.shape[:-3]
@@ -150,8 +164,11 @@ class ActorCritic(nn.Module):
         x = nn.relu(nn.Dense(cfg.hidden, dtype=cfg.dtype, name="torso")(x))
         # 'model'-axis tensor parallelism: GSPMD shards this dense pair when
         # the caller constrains params/activations over the mesh.
-        logits = nn.Dense(C.N_ACTIONS, dtype=jnp.float32, name="pi")(
-            x.astype(jnp.float32))
-        value = nn.Dense(1, dtype=jnp.float32, name="v")(
-            x.astype(jnp.float32))
+        # Heads run in the compute dtype (bf16 on the MXU — an f32 head
+        # forced a 134 MB/minibatch activation cast, ~ms per update pass)
+        # and cast OUTPUTS to f32 for the softmax/GAE numerics.
+        logits = nn.Dense(C.N_ACTIONS, dtype=cfg.dtype, name="pi")(
+            x).astype(jnp.float32)
+        value = nn.Dense(1, dtype=cfg.dtype, name="v")(
+            x).astype(jnp.float32)
         return logits, value[..., 0]

@@ -47,6 +47,13 @@ class PPOConfig:
     # generation). Cost is board_pool resets per rollout — measured ~
     # nothing vs the 10.5x of fully independent resets (bench --board-pool).
     board_pool: int = 256
+    # image-obs PPO: store EnvStates (~600 B/env) instead of rendered uint8
+    # images (~9.4 KB/agent) and re-render each minibatch's observations
+    # inside the update — rematerialization in the jax.checkpoint sense,
+    # trading the 925 MB trajectory image buffer's HBM traffic for sprite
+    # kernel FLOPs (the buffer's store relayout dominated CNN PPO at 48k
+    # env-steps/s in round 2). False = the round-2 row store.
+    recompute_image_obs: bool = True
 
 
 def obs_spec(env_params: EnvParams):
@@ -87,7 +94,7 @@ def _gae(rew, value, done, last_value, gamma, lam):
 
 
 def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
-                    tx, mesh=None, axis=None, n_shards=1):
+                    tx, mesh=None, axis=None, n_shards=1, jit=True):
     """Build the fused rollout+update step: ONE jitted program.
 
     fn(params, opt_state, env_state, key) ->
@@ -122,16 +129,24 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
     # 'cnn' torso on encode obs (onehot_features wants channel-last).
     bm_store = (env_params.observation_style == "encode"
                 and cfg.torso == "mlp")
+    # image-obs trajectories store the pre-step EnvState and re-render each
+    # minibatch's observations inside the update (see
+    # PPOConfig.recompute_image_obs)
+    recompute = (env_params.observation_style == "image"
+                 and cfg.recompute_image_obs)
 
     def obs_of(state):
-        """(policy-input obs, uint8 store form) — both feature-major
-        (N, 3*vs*vs, B) on the encode/mlp path."""
+        """(policy-input obs, trajectory store form) — both feature-major
+        (N, 3*vs*vs, B) on the encode/mlp path; (obs, state-to-store) on
+        the image-recompute path."""
         if bm_store:
             bm = obs_mod.all_agent_obs_b(env_params, state, bminor=True)
             fm = bm.transpose(1, 0, 2, 3, 4).reshape(
                 N, 3 * env_params.view_size ** 2, B)
             return fm, fm.astype(jnp.uint8)
         major = obs_mod.all_agent_obs_b(env_params, state, *luts)
+        if recompute:
+            return major, state
         return major, major.reshape(B * N, -1).astype(jnp.uint8)
 
     def constrain(tree):
@@ -218,6 +233,25 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
             # contracts F directly; logits (mb, c, A), labels (mb, c)
             logits, value = net.apply(params, batch["obs"],
                                       feature_major=True)
+        elif recompute:
+            # batch["obs"] is an EnvState with (mb, c, …) leaves: flatten
+            # to one render batch and re-render the observations HERE —
+            # sprite-kernel FLOPs instead of a 925 MB uint8 trajectory
+            # buffer (obs are integer-valued: no gradient flows into the
+            # render, exactly like a stored buffer)
+            st = jax.tree.map(
+                lambda x: x.reshape((-1,) + x.shape[2:]), batch["obs"])
+            obs = obs_mod.all_agent_obs_b(env_params, st, *luts,
+                                          bminor=True)   # (N, S, H, W, 3)
+            S = obs.shape[1]
+            logits, value = net.apply(
+                params, obs.reshape((N * S,) + obs.shape[2:]))
+            logits = logits.reshape(N, S, -1)
+            value = value.reshape(N, S)
+            # labels arrive (mb, c, N); align to the render's (N, S) order
+            batch = dict(batch, **{
+                k: batch[k].transpose(2, 0, 1).reshape(N, S)
+                for k in ("act", "logp", "val", "adv", "ret")})
         else:
             shape, dtype = obs_spec(env_params)
             obs = batch["obs"].astype(dtype).reshape((-1,) + shape)
@@ -304,6 +338,31 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
                 adv=blk(adv.reshape(T, N, B)),
                 ret=blk(ret.reshape(T, N, B)),
             )
+        elif recompute:
+            # (t, env-chunk) blocks: EnvState leaves (T, B, …) reshape to
+            # (G, c, …) with NO relayout at all (row-major split of the two
+            # leading dims); labels (T, B, N) reshape to (G, c, N). The
+            # whole stored trajectory is ~600 B/env-step instead of
+            # N x 9.4 KB of rendered pixels.
+            c = B
+            while c % 2 == 0 and c // 2 >= 16 and T * (B // c) * 2 <= 8192:
+                c //= 2
+            G = T * (B // c)
+            assert G >= cfg.n_minibatches, \
+                f"fewer trajectory blocks ({G}) than minibatches"
+
+            def blk(x):                       # (T, B, N) -> (G, c, N)
+                return x.reshape((G, c) + x.shape[2:])
+
+            blocked = dict(
+                obs=jax.tree.map(
+                    lambda x: x.reshape((G, c) + x.shape[2:]), traj["obs"]),
+                act=blk(traj["act"]),
+                logp=blk(traj["logp"]),
+                val=blk(val.reshape(T, B, N)),
+                adv=blk(adv.reshape(T, B, N)),
+                ret=blk(ret.reshape(T, B, N)),
+            )
         else:
             flat = dict(
                 obs=traj["obs"].reshape(T * B * N, -1),
@@ -336,8 +395,9 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
 
             def minibatch(carry, idx):
                 params, opt_state = carry
-                if bm_store:
-                    # feature-major blocks are consumed whole: (mb, F, c)
+                if bm_store or recompute:
+                    # blocks are consumed whole: (mb, F, c) feature-major /
+                    # (mb, c, …) EnvState leaves + (mb, c, N) labels
                     batch = jax.tree.map(lambda x: x[idx], blocked)
                 else:
                     batch = jax.tree.map(
@@ -388,13 +448,41 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
         key = jax.random.fold_in(key, 1)
         return params, opt_state, env_state, key, metrics
 
-    if axis is not None:
-        return train_step   # raw per-shard fn; shard_map-wrapped by caller
+    if axis is not None or not jit:
+        # raw fn: shard_map-wrapped by the caller, or scanned by multi_step
+        return train_step
     return jax.jit(train_step, donate_argnums=(0, 1, 2))
 
 
+def multi_step(step_fn, k: int):
+    """Fuse ``k`` train iterations into ONE dispatched program
+    (``lax.scan`` over the step): through a TPU relay each program dispatch
+    costs host-side latency (measured ~20 ms/iter on the axon tunnel vs
+    ~62 ms device time), so batching k steps amortizes it k-fold. Returns
+    ``fn(params, opt_state, env_state, key) -> (..., metrics)`` with
+    metrics of the LAST of the k iterations (matching the driver loop's
+    log-every semantics).
+
+    ``step_fn`` must be the UNJITTED train step — pass
+    ``make_train_step(..., jit=False)``.
+    """
+    def fn(params, opt_state, env_state, key):
+        def body(carry, _):
+            params, opt_state, env_state, key = carry
+            params, opt_state, env_state, key, m = step_fn(
+                params, opt_state, env_state, key)
+            return (params, opt_state, env_state, key), m
+
+        (params, opt_state, env_state, key), ms = jax.lax.scan(
+            body, (params, opt_state, env_state, key), None, length=k)
+        metrics = jax.tree.map(lambda x: x[-1], ms)
+        return params, opt_state, env_state, key, metrics
+
+    return jax.jit(fn, donate_argnums=(0, 1, 2))
+
+
 def make_train_step_shard_map(env_params: EnvParams, cfg: PPOConfig, net,
-                              tx, mesh):
+                              tx, mesh, jit=True):
     """Explicit-collective variant of ``make_train_step`` (SURVEY §2.3
     multi-host second tier): the env batch and trajectories stay LOCAL to
     each 'data' shard under ``shard_map``; gradients, advantage statistics
@@ -402,20 +490,21 @@ def make_train_step_shard_map(env_params: EnvParams, cfg: PPOConfig, net,
     ``psum`` collectives instead of GSPMD-inferred ones. Action sampling is
     keyed per global env index, so the computation is independent of the
     shard count (tested: 8-shard == 1-shard on the virtual CPU mesh)."""
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec
 
     D = mesh.shape["data"]
     assert cfg.n_envs % D == 0, (cfg.n_envs, D)
     local = make_train_step(env_params, cfg, net, tx, axis="data",
                             n_shards=D)
-    fn = shard_map(
+    fn = jax.shard_map(
         local, mesh=mesh,
         in_specs=(PartitionSpec(), PartitionSpec(), PartitionSpec("data"),
                   PartitionSpec()),
         out_specs=(PartitionSpec(), PartitionSpec(), PartitionSpec("data"),
                    PartitionSpec(), PartitionSpec()),
-        check_rep=False)
+        check_vma=False)
+    if not jit:
+        return fn              # traceable; scanned by multi_step
     return jax.jit(fn, donate_argnums=(0, 1, 2))
 
 

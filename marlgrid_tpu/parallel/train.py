@@ -49,6 +49,11 @@ def parse_args(argv=None):
     p.add_argument("--no-stagger", action="store_true",
                    help="disable staggered initial episode phases "
                         "(synchronized first-episode completions)")
+    p.add_argument("--steps-per-call", type=int, default=1,
+                   help="train iterations fused into one dispatched "
+                        "program (amortizes per-dispatch host latency — "
+                        "~20 ms/iter through the TPU relay); metrics/"
+                        "checkpoints then have steps-per-call granularity")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--model-shards", type=int, default=1)
     p.add_argument("--metrics", default=None, help="JSONL metrics path")
@@ -61,6 +66,16 @@ def parse_args(argv=None):
     p.add_argument("--resume", default=None)
     p.add_argument("--distributed", action="store_true",
                    help="call jax.distributed.initialize() first (pods)")
+    p.add_argument("--coordinator", default=None,
+                   help="with --distributed: coordinator host:port "
+                        "(default: auto-detect from the cluster env)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--shard-map", action="store_true",
+                   help="explicit-collective train step (jax.shard_map + "
+                        "hand-written pmean/psum over 'data') instead of "
+                        "the GSPMD sharding-constraint path — proven "
+                        "numerically equal (tests/test_shard_map.py)")
     p.add_argument("--profile-dir", default=None,
                    help="jax.profiler trace output dir (SURVEY §5 tracing)")
     p.add_argument("--debug-nans", action="store_true",
@@ -72,7 +87,12 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
     if args.distributed:
-        jax.distributed.initialize()
+        kw = {}
+        if args.coordinator:
+            kw = dict(coordinator_address=args.coordinator,
+                      num_processes=args.num_processes,
+                      process_id=args.process_id)
+        jax.distributed.initialize(**kw)
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
@@ -107,13 +127,21 @@ def main(argv=None):
                 args.resume, dict(params=params, opt_state=opt_state))
         params, opt_state = restored["params"], restored["opt_state"]
 
-    step = ppo.make_train_step(ep, cfg, net, tx, mesh=mesh)
+    spc = max(1, args.steps_per_call)
+    if args.shard_map:
+        make = lambda jit: ppo.make_train_step_shard_map(  # noqa: E731
+            ep, cfg, net, tx, mesh, jit=jit)
+    else:
+        make = lambda jit: ppo.make_train_step(            # noqa: E731
+            ep, cfg, net, tx, mesh=mesh, jit=jit)
+    step = ppo.multi_step(make(False), spc) if spc > 1 else make(True)
     log = MetricsLogger(args.metrics)
 
-    env_steps_per_iter = cfg.n_envs * cfg.rollout_len
+    env_steps_per_iter = cfg.n_envs * cfg.rollout_len * spc
+    n_calls = max(1, args.iters // spc)
     t0 = time.time()
     last_logged = -1
-    for it in range(args.iters):
+    for it in range(n_calls):
         if args.profile_dir and it == 2:
             jax.profiler.start_trace(args.profile_dir)
         params, opt_state, env_state, key, metrics = step(
@@ -122,7 +150,7 @@ def main(argv=None):
         # relay that costs ~0.2 s/iter (measured: 305 ms device, 490 ms
         # wall). With --log-every K the loop stays async and iterations
         # pipeline back-to-back on device.
-        if (it + 1) % args.log_every == 0 or it == args.iters - 1:
+        if (it + 1) % args.log_every == 0 or it == n_calls - 1:
             metrics = {k: float(v) for k, v in metrics.items()}
             n_it = it - last_logged
             last_logged = it

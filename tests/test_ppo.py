@@ -134,3 +134,55 @@ def test_ratio_dev_row_alignment_feature_major():
     step = ppo.make_train_step(ep, cfg, net, tx)
     _, _, _, _, m = step(params, opt_state, env_state, key)
     assert float(m["ratio_dev"]) < 1e-4, float(m["ratio_dev"])
+
+
+def _image_ep(n_agents=2):
+    return EnvParams(width=9, height=9, n_agents=n_agents,
+                     scenario="cluttered", n_clutter=4, max_steps=12,
+                     view_size=5, view_tile_size=4,
+                     observation_style="image",
+                     agent_colors=default_agent_colors(n_agents))
+
+
+def test_image_recompute_matches_stored_images():
+    """Re-rendering minibatch obs from stored EnvStates computes the same
+    update math as the stored-image-buffer path: with lr=0, one epoch, one
+    full-batch minibatch, losses agree and ratio_dev ~ 0 (row alignment
+    between re-rendered obs and stored action/logp labels)."""
+    ep = _image_ep()
+    key = jax.random.PRNGKey(0)
+    ms = {}
+    for rec in (True, False):
+        cfg = ppo.PPOConfig(n_envs=8, rollout_len=4, n_epochs=1,
+                            n_minibatches=1, lr=0.0, hidden=16,
+                            torso="cnn_image", dtype=jnp.float32,
+                            recompute_image_obs=rec)
+        net, params, tx, opt_state = ppo.init_state(ep, cfg, key)
+        env_state = ppo.init_env_batch(ep, cfg.n_envs,
+                                       jax.random.fold_in(key, 1))
+        step = ppo.make_train_step(ep, cfg, net, tx)
+        _, _, _, _, m = step(params, opt_state, env_state, key)
+        ms[rec] = {k: float(v) for k, v in m.items()}
+    assert ms[True]["ratio_dev"] < 1e-4, ms[True]["ratio_dev"]
+    np.testing.assert_allclose(ms[True]["loss"], ms[False]["loss"],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(ms[True]["pg_loss"], ms[False]["pg_loss"],
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_image_recompute_learns_finite():
+    """Multi-epoch/minibatch smoke on the recompute path (gradients flow,
+    episode metrics populated)."""
+    ep = _image_ep()
+    cfg = ppo.PPOConfig(n_envs=8, rollout_len=16, n_epochs=2,
+                        n_minibatches=2, hidden=16, torso="cnn_image",
+                        recompute_image_obs=True)
+    key = jax.random.PRNGKey(1)
+    net, params, tx, opt_state = ppo.init_state(ep, cfg, key)
+    env_state = ppo.init_env_batch(ep, cfg.n_envs, jax.random.fold_in(key, 1))
+    step = ppo.make_train_step(ep, cfg, net, tx)
+    for _ in range(2):
+        params, opt_state, env_state, key, m = step(
+            params, opt_state, env_state, key)
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["n_episodes"]) > 0
