@@ -134,28 +134,36 @@ class IndependentLearners(list):
 def agents_to_params_fields(agents: List[GridAgentInterface]) -> dict:
     """Fold an agent list into EnvParams fields.
 
-    ``view_size`` / ``view_tile_size`` / ``observation_style`` may differ
-    per agent (the reference builds one GridAgentInterface per agent —
-    SURVEY §2.1); the host wrapper compiles one obs program per distinct
-    config group. The remaining obs flags must still be homogeneous (one
-    static engine config — SURVEY §7.3 item 5).
+    EVERY ``GridAgentInterface`` obs kwarg may differ per agent (the
+    reference builds one interface per agent — SURVEY §2.1 [M]):
+    homogeneous values land in the scalar EnvParams fields; heterogeneous
+    ones populate the per-agent tables, and the host wrapper / VectorEnv
+    compile one obs program per distinct config group.
     """
     a0 = agents[0]
-    for a in agents[1:]:
-        for f in ("view_offset", "observe_rewards", "observe_position",
-                  "observe_orientation", "see_through_walls",
-                  "hide_item_types", "prestige_beta", "prestige_scale"):
-            assert getattr(a, f) == getattr(a0, f), \
-                f"heterogeneous agent config not supported: {f}"
+
+    def _types(ts):
+        return tuple(C.TYPE_TO_IDX[t] if isinstance(t, str) else int(t)
+                     for t in ts)
+
     hetero = dict()
-    if any(a.view_size != a0.view_size for a in agents):
-        hetero["agent_view_sizes"] = tuple(a.view_size for a in agents)
-    if any(a.view_tile_size != a0.view_tile_size for a in agents):
-        hetero["agent_view_tile_sizes"] = tuple(a.view_tile_size
-                                                for a in agents)
-    if any(a.observation_style != a0.observation_style for a in agents):
-        hetero["agent_obs_styles"] = tuple(a.observation_style
-                                           for a in agents)
+
+    def table(attr, field, conv=lambda v: v):
+        vals = tuple(conv(getattr(a, attr)) for a in agents)
+        if any(v != vals[0] for v in vals[1:]):
+            hetero[field] = vals
+
+    table("view_size", "agent_view_sizes")
+    table("view_tile_size", "agent_view_tile_sizes")
+    table("observation_style", "agent_obs_styles")
+    table("view_offset", "agent_view_offsets")
+    table("see_through_walls", "agent_see_through_walls")
+    table("hide_item_types", "agent_hide_item_types", _types)
+    table("observe_rewards", "agent_observe_rewards")
+    table("observe_position", "agent_observe_positions")
+    table("observe_orientation", "agent_observe_orientations")
+    table("prestige_beta", "agent_prestige_betas", float)
+    table("prestige_scale", "agent_prestige_scales", float)
     return dict(
         prestige_beta=a0.prestige_beta,
         prestige_scale=a0.prestige_scale,
@@ -171,7 +179,5 @@ def agents_to_params_fields(agents: List[GridAgentInterface]) -> dict:
         observe_position=a0.observe_position,
         observe_orientation=a0.observe_orientation,
         see_through_walls=a0.see_through_walls,
-        hide_item_types=tuple(
-            C.TYPE_TO_IDX[t] if isinstance(t, str) else int(t)
-            for t in a0.hide_item_types),
+        hide_item_types=_types(a0.hide_item_types),
     )

@@ -80,8 +80,10 @@ def all_view_world_coords(params: EnvParams, state: EnvState):
 
 def prestige_dim(params: EnvParams, prestige):
     """(…, N) float32 sprite dim factor per agent (SPEC §8): quantized
-    prestige level -> PRESTIGE_DIM table, gather-free."""
-    lvl = jnp.clip(jnp.floor(prestige / jnp.float32(params.prestige_scale))
+    prestige level -> PRESTIGE_DIM table, gather-free. The scale may
+    differ per OBSERVED agent ((N,) broadcast on the last axis)."""
+    scale = jnp.asarray(params.prestige_scale_tuple(), jnp.float32)
+    lvl = jnp.clip(jnp.floor(prestige / scale)
                    .astype(jnp.int32), 0, C.N_PRESTIGE_LEVELS - 1)
     oh = (lvl[..., None] == jnp.arange(C.N_PRESTIGE_LEVELS))
     return (oh * jnp.asarray(C.PRESTIGE_DIM)).sum(-1)

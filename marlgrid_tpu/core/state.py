@@ -56,11 +56,24 @@ class EnvParams:
     agent_view_sizes: Tuple[int, ...] = ()
     agent_view_tile_sizes: Tuple[int, ...] = ()
     agent_obs_styles: Tuple[str, ...] = ()
+    # … and the remaining per-agent obs knobs (``GridAgentInterface`` allows
+    # every agent its own values — SURVEY §2.1 [M]); same convention:
+    # empty = homogeneous (the scalar fields above), else len == n_agents
+    agent_view_offsets: Tuple[int, ...] = ()
+    agent_see_through_walls: Tuple[bool, ...] = ()
+    agent_hide_item_types: Tuple[Tuple[int, ...], ...] = ()
+    agent_observe_rewards: Tuple[bool, ...] = ()
+    agent_observe_positions: Tuple[bool, ...] = ()
+    agent_observe_orientations: Tuple[bool, ...] = ()
     # prestige display (``GridAgentInterface(prestige_beta/prestige_scale)``
     # [M]): per-step multiplicative decay of the prestige accumulator and the
-    # scale mapping prestige to sprite dim levels (SPEC §8)
+    # scale mapping prestige to sprite dim levels (SPEC §8). The agent_*
+    # tables allow per-agent values (observed-agent-side: they ride the
+    # engine/sprite paths, not the per-observer obs groups).
     prestige_beta: float = 0.95
     prestige_scale: float = 2.0
+    agent_prestige_betas: Tuple[float, ...] = ()
+    agent_prestige_scales: Tuple[float, ...] = ()
     # per-agent spawn delays (``GridAgentInterface(spawn_delay)`` [L]):
     # () means all agents spawn at reset; otherwise len == n_agents and agent
     # i activates when step_count reaches spawn_delays[i] (SPEC §5)
@@ -109,7 +122,10 @@ class EnvParams:
                 f"n_agents={self.n_agents} entries"
             )
         for name in ("agent_view_sizes", "agent_view_tile_sizes",
-                     "agent_obs_styles"):
+                     "agent_obs_styles", "agent_view_offsets",
+                     "agent_see_through_walls", "agent_hide_item_types",
+                     "agent_observe_rewards", "agent_observe_positions",
+                     "agent_observe_orientations"):
             tab = getattr(self, name)
             assert not tab or len(tab) == self.n_agents, (
                 f"{name} {tab} must be empty or have n_agents="
@@ -130,6 +146,14 @@ class EnvParams:
         """spawn_delays normalized to length n_agents (() -> all zero)."""
         return self.spawn_delays or (0,) * self.n_agents
 
+    def prestige_beta_tuple(self) -> Tuple[float, ...]:
+        return self.agent_prestige_betas \
+            or (self.prestige_beta,) * self.n_agents
+
+    def prestige_scale_tuple(self) -> Tuple[float, ...]:
+        return self.agent_prestige_scales \
+            or (self.prestige_scale,) * self.n_agents
+
     @property
     def has_spawn_delays(self) -> bool:
         return any(d > 0 for d in self.spawn_delays)
@@ -147,20 +171,60 @@ class EnvParams:
         return self.agent_obs_styles[i] if self.agent_obs_styles \
             else self.observation_style
 
+    def agent_view_offset(self, i: int) -> int:
+        return self.agent_view_offsets[i] if self.agent_view_offsets \
+            else self.view_offset
+
+    def agent_sees_through_walls(self, i: int) -> bool:
+        return self.agent_see_through_walls[i] \
+            if self.agent_see_through_walls else self.see_through_walls
+
+    def agent_hidden_types(self, i: int) -> Tuple[int, ...]:
+        return tuple(self.agent_hide_item_types[i]) \
+            if self.agent_hide_item_types else self.hide_item_types
+
+    def agent_observes_rewards(self, i: int) -> bool:
+        return self.agent_observe_rewards[i] \
+            if self.agent_observe_rewards else self.observe_rewards
+
+    def agent_observes_position(self, i: int) -> bool:
+        return self.agent_observe_positions[i] \
+            if self.agent_observe_positions else self.observe_position
+
+    def agent_observes_orientation(self, i: int) -> bool:
+        return self.agent_observe_orientations[i] \
+            if self.agent_observe_orientations \
+            else self.observe_orientation
+
     @property
     def has_hetero_obs(self) -> bool:
         return bool(self.agent_view_sizes or self.agent_view_tile_sizes
-                    or self.agent_obs_styles)
+                    or self.agent_obs_styles or self.agent_view_offsets
+                    or self.agent_see_through_walls
+                    or self.agent_hide_item_types
+                    or self.agent_observe_rewards
+                    or self.agent_observe_positions
+                    or self.agent_observe_orientations)
 
     def agent_obs_params(self, i: int) -> "EnvParams":
         """Homogeneous params as seen by agent i's obs program — the
-        per-group compile key for the host wrapper."""
+        per-group compile key for the host wrapper (and VectorEnv's
+        per-group batched obs programs)."""
         return self.replace(
             view_size=self.agent_view_size(i),
             view_tile_size=self.agent_view_tile_size(i),
             observation_style=self.agent_obs_style(i),
+            view_offset=self.agent_view_offset(i),
+            see_through_walls=self.agent_sees_through_walls(i),
+            hide_item_types=self.agent_hidden_types(i),
+            observe_rewards=self.agent_observes_rewards(i),
+            observe_position=self.agent_observes_position(i),
+            observe_orientation=self.agent_observes_orientation(i),
             agent_view_sizes=(), agent_view_tile_sizes=(),
-            agent_obs_styles=())
+            agent_obs_styles=(), agent_view_offsets=(),
+            agent_see_through_walls=(), agent_hide_item_types=(),
+            agent_observe_rewards=(), agent_observe_positions=(),
+            agent_observe_orientations=())
 
     def replace(self, **kw) -> "EnvParams":
         return dataclasses.replace(self, **kw)

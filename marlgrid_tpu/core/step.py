@@ -21,7 +21,9 @@ from . import rng
 from .grid_gen import free_mask, interior_region, reset, select_cell
 from .state import EnvParams, EnvState
 
-_DIR_VEC = jnp.asarray(C.DIR_VEC)
+# NOTE: no module-level jnp constants — creating a device array at import
+# time initializes the XLA backend, which breaks the CLI's
+# ``jax.distributed.initialize()`` (must run before any backend touch).
 
 
 def _float_lookup(table, idx):
@@ -55,7 +57,8 @@ def _agent_micro_step(params: EnvParams, state: EnvState, rew, i, actions,
     state.agent_dir = D.write_row(state.agent_dir, i, (d + turn) % 4)
 
     # --- the forward cell (always in bounds: boards are wall-bordered) ------
-    f = pos + (D.onehot(d, 4)[:, None] * _DIR_VEC).sum(0)
+    f = pos + (D.onehot(d, 4)[:, None]
+           * jnp.asarray(C.DIR_VEC)).sum(0)
     fx, fy = f[0], f[1]
     ft, fc, fs = _read_cell3(params, state, fx, fy)
 
@@ -220,8 +223,10 @@ def step(params: EnvParams, state: EnvState, actions):
     state.accum_reward = state.accum_reward + rew
     state.last_reward = rew
     # prestige display accumulator (SPEC §8): decay, then add this step's
-    # non-negative reward
-    state.prestige = (state.prestige * jnp.float32(params.prestige_beta)
+    # non-negative reward (beta may differ per agent — (N,) broadcast)
+    state.prestige = (state.prestige
+                      * jnp.asarray(params.prestige_beta_tuple(),
+                                    jnp.float32)
                       + jnp.maximum(rew, 0.0))
 
     alive = state.active

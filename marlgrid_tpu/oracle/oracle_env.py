@@ -211,7 +211,8 @@ class OracleEnv:
         self.accum_reward += rew
         self.last_reward = rew
         # prestige display accumulator (SPEC §8) — float32, engine recipe
-        self.prestige = (self.prestige * np.float32(p.prestige_beta)
+        self.prestige = (self.prestige
+                         * np.asarray(p.prestige_beta_tuple(), np.float32)
                          + np.maximum(rew, 0).astype(np.float32)
                          ).astype(np.float32)
         # post-increment count: an agent with d == step_count activates at
@@ -326,7 +327,7 @@ class OracleEnv:
         engine's precomputed offset tables)."""
         p = self.p
         vs = self._vs(i)
-        c, aj = vs // 2, vs - 1 - p.view_offset
+        c, aj = vs // 2, vs - 1 - p.agent_view_offset(i)
         d = int(self.agent_dir[i])
         up, right = C.DIR_VEC[d], C.DIR_VEC[(d + 1) % 4]
         w = self.agent_pos[i] + (aj - vj) * up + (vi - c) * right
@@ -354,12 +355,14 @@ class OracleEnv:
                     cells[vi, vj] = (C.WALL, grey, 0)
         return cells, agent
 
-    def process_vis(self, transparent):
+    def process_vis(self, transparent, view_offset=None):
         """Literal minigrid occlusion sweep (SPEC §7, SURVEY §3.4 [H])."""
         p = self.p
+        if view_offset is None:
+            view_offset = p.view_offset
         vs = transparent.shape[0]
         mask = np.zeros((vs, vs), bool)
-        mask[vs // 2, vs - 1 - p.view_offset] = True
+        mask[vs // 2, vs - 1 - view_offset] = True
         for j in range(vs - 1, -1, -1):
             for i_ in range(vs - 1):
                 if mask[i_, j] and transparent[i_, j]:
@@ -378,20 +381,20 @@ class OracleEnv:
     def vis_mask(self, i):
         cells, _ = self.view_grid(i)
         vs = self._vs(i)
-        if self.p.see_through_walls:
+        if self.p.agent_sees_through_walls(i):
             return np.ones((vs,) * 2, bool)
         transparent = np.array(
             [[C.see_behind(int(cells[vi, vj, 0]), int(cells[vi, vj, 2]))
               for vj in range(vs)]
              for vi in range(vs)])
-        return self.process_vis(transparent)
+        return self.process_vis(transparent, self.p.agent_view_offset(i))
 
     def obs_encode(self, i):
         """SPEC §7 'encode' style: (vs, vs, 3) int32."""
         p = self.p
         cells, agent = self.view_grid(i)
         out = cells.copy()
-        for t in p.hide_item_types:           # visual-only (SPEC)
+        for t in p.agent_hidden_types(i):     # visual-only (SPEC)
             out[out[..., 0] == t] = 0
         d = int(self.agent_dir[i])
         for vi in range(self._vs(i)):
@@ -419,7 +422,7 @@ class OracleEnv:
                 if not vis[vi, vj]:
                     continue
                 t, c, s = (int(v) for v in cells[vi, vj])
-                if t in p.hide_item_types:    # visual-only (SPEC)
+                if t in p.agent_hidden_types(i):  # visual-only (SPEC)
                     t, c, s = 0, 0, 0
                 s_vis = min(s, 2) if t == C.DOOR else 0
                 tile = R.render_base_tile(t, c, s_vis, T)
@@ -430,8 +433,8 @@ class OracleEnv:
                         (int(self.agent_dir[j]) - d + 3) % 4, T)
                     # prestige dimming (SPEC §8) — engine recipe: scale the
                     # full-bright sprite RGB by the quantized factor, truncate
-                    f = C.prestige_dim_factor(self.prestige[j],
-                                              p.prestige_scale)
+                    f = C.prestige_dim_factor(
+                        self.prestige[j], p.prestige_scale_tuple()[j])
                     rgb = (over[..., :3].astype(np.float32)
                            * f).astype(np.uint8)
                     tile = np.where(over[..., 3:] > 0, rgb, tile)
@@ -447,10 +450,10 @@ class OracleEnv:
         if style == "image":
             return img
         out = {"pov": img}
-        if p.observe_rewards:
+        if p.agent_observes_rewards(i):
             out["reward"] = float(self.last_reward[i])
-        if p.observe_position:
+        if p.agent_observes_position(i):
             out["position"] = tuple(int(v) for v in self.agent_pos[i])
-        if p.observe_orientation:
+        if p.agent_observes_orientation(i):
             out["orientation"] = int(self.agent_dir[i])
         return out

@@ -252,7 +252,8 @@ def render_board(params, state, tile_size=16, highlight_mask=None):
         x, y = int(pos[i, 0]), int(pos[i, 1])
         over = alut[1 + params.agent_colors[i] * 4 + int(dirs[i])]
         # prestige dimming (SPEC §8) — same recipe as the device obs path
-        f = C.prestige_dim_factor(pres[i], params.prestige_scale)
+        f = C.prestige_dim_factor(pres[i],
+                                  params.prestige_scale_tuple()[i])
         rgb = (over[..., :3].astype(np.float32) * f).astype(np.uint8)
         cell = tiles[x, y]
         tiles[x, y] = np.where(over[..., 3:] > 0, rgb, cell)

@@ -32,28 +32,54 @@ class VectorEnv:
     def __init__(self, params: EnvParams, n_envs: int,
                  sharding: Optional[jax.sharding.NamedSharding] = None,
                  auto_reset: bool = True, independent_resets: bool = False):
-        assert not params.has_hetero_obs, (
-            "VectorEnv requires homogeneous per-agent obs configs (one "
-            "static obs shape per env); heterogeneous view configs are a "
-            "host-wrapper feature (MultiGridEnv)")
         self.params = params
         self.n_envs = n_envs
         self.auto_reset = auto_reset
         self.sharding = sharding
 
-        if params.observation_style == "encode":
-            luts = ()
-        else:
-            luts = (jnp.asarray(rendering.base_lut(params.view_tile_size)),
-                    jnp.asarray(rendering.agent_lut(params.view_tile_size)))
+        # heterogeneous per-agent obs configs: one BATCHED obs program per
+        # distinct config group (same grouping as the host wrapper —
+        # SURVEY §2.1 GridAgentInterface); obs become a dict
+        # {group_index: (B, n_group_agents, …)} and ``self.obs_groups``
+        # lists each group's agent indices + homogeneous params. Each
+        # group's program renders all N agents under the group's config and
+        # keeps the group columns (agents must still see every OTHER agent
+        # in their views, so the per-group compute is full-N by design).
+        self.obs_groups = None
+        if params.has_hetero_obs:
+            groups = {}
+            order = []
+            for i in range(params.n_agents):
+                gp = params.agent_obs_params(i)
+                if gp not in groups:
+                    groups[gp] = []
+                    order.append(gp)
+                groups[gp].append(i)
+            self.obs_groups = [(tuple(groups[gp]), gp) for gp in order]
+
+        def _luts(p):
+            if p.observation_style == "encode":
+                return ()
+            return (jnp.asarray(rendering.base_lut(p.view_tile_size)),
+                    jnp.asarray(rendering.agent_lut(p.view_tile_size)))
+
+        luts = _luts(params) if self.obs_groups is None else ()
+
+        def _obs(state):
+            if self.obs_groups is None:
+                return obs_mod.all_agent_obs_b(params, state, *luts)
+            return {
+                g: obs_mod.all_agent_obs_b(gp, state, *_luts(gp))[
+                    :, jnp.asarray(idxs)]
+                for g, (idxs, gp) in enumerate(self.obs_groups)
+            }
 
         def _reset(key):
             keys = jax.random.split(key, n_envs)
             if sharding is not None:
                 keys = jax.lax.with_sharding_constraint(keys, sharding)
             state = jax.vmap(lambda k: grid_gen.reset(params, k))(keys)
-            obs = obs_mod.all_agent_obs_b(params, state, *luts)
-            return state, obs
+            return state, _obs(state)
 
         def _step(state, actions):
             if auto_reset and independent_resets:
@@ -74,8 +100,7 @@ class VectorEnv:
                 state, rew, done = jax.vmap(
                     lambda s, a: step_mod.step(params, s, a))(state, actions)
                 info = {}
-            obs = obs_mod.all_agent_obs_b(params, state, *luts)
-            return state, obs, rew, done, info
+            return state, _obs(state), rew, done, info
 
         self.reset = jax.jit(_reset)
         self.step = jax.jit(_step)

@@ -183,11 +183,11 @@ class MultiGridEnv(_EnvBase):
                 out.append(per_agent[i])
                 continue
             d = {"pov": per_agent[i]}
-            if p.observe_rewards:
+            if p.agent_observes_rewards(i):
                 d["reward"] = float(rew[i])
-            if p.observe_position:
+            if p.agent_observes_position(i):
                 d["position"] = tuple(int(v) for v in pos[i])
-            if p.observe_orientation:
+            if p.agent_observes_orientation(i):
                 d["orientation"] = int(dirs[i])
             out.append(d)
         return out

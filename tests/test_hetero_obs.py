@@ -71,12 +71,152 @@ def test_hetero_styles_and_tile_sizes():
     assert img.shape == (72, 72, 3)
 
 
-def test_vector_env_rejects_hetero():
-    params = EnvParams(width=9, height=9, n_agents=2, scenario="empty",
-                       agent_view_sizes=(5, 7),
-                       agent_colors=default_agent_colors(2),
-                       observation_style="encode")
+def test_vector_env_hetero_groups_parity():
+    """Hetero views on the BATCHED path (VERDICT r2 item 5): VectorEnv
+    returns per-group obs pytrees; each agent column must equal the
+    homogeneous batched program run under that agent's own config."""
+    import jax
+    import jax.numpy as jnp
+
+    from marlgrid_tpu.core import obs as obs_mod
     from marlgrid_tpu.vector import VectorEnv
 
-    with pytest.raises(AssertionError, match="homogeneous"):
-        VectorEnv(params, n_envs=4)
+    params = EnvParams(width=11, height=11, n_agents=3, scenario="cluttered",
+                       n_clutter=6, max_steps=20,
+                       agent_view_sizes=(5, 7, 5),
+                       agent_colors=default_agent_colors(3),
+                       observation_style="encode")
+    B = 4
+    env = VectorEnv(params, n_envs=B)
+    assert [idxs for idxs, _ in env.obs_groups] == [(0, 2), (1,)]
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert set(obs) == {0, 1}
+    assert obs[0].shape == (B, 2, 5, 5, 3)
+    assert obs[1].shape == (B, 1, 7, 7, 3)
+    rng = np.random.default_rng(0)
+    for t in range(8):
+        acts = jnp.asarray(rng.integers(0, 7, (B, 3)))
+        state, obs, rew, done, info = env.step(state, acts)
+    for g, (idxs, gp) in enumerate(env.obs_groups):
+        full = obs_mod.all_agent_obs_b(gp, state)      # (B, N, vs, vs, 3)
+        np.testing.assert_array_equal(np.asarray(obs[g]),
+                                      np.asarray(full[:, list(idxs)]))
+
+
+def test_vector_env_hetero_trains_per_group_torsos():
+    """PPO-style smoke at batch scale: one torso per obs group, a short
+    rollout through VectorEnv, a policy-gradient update on both torsos —
+    gradients flow and parameters move (hetero obs are trainable, not just
+    parity-testable one env at a time)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from marlgrid_tpu.models import ActorCritic
+    from marlgrid_tpu.parallel.ppo import PPOConfig
+    from marlgrid_tpu.vector import VectorEnv
+
+    params = EnvParams(width=9, height=9, n_agents=2, scenario="empty",
+                       max_steps=10, agent_view_sizes=(5, 7),
+                       agent_colors=default_agent_colors(2),
+                       observation_style="encode")
+    B, T = 8, 6
+    env = VectorEnv(params, n_envs=B)
+    cfg = PPOConfig(hidden=16, dtype=jnp.float32)
+    nets = [ActorCritic(cfg) for _ in env.obs_groups]
+    key = jax.random.PRNGKey(0)
+    state, obs = env.reset(key)
+    net_params = [
+        net.init(jax.random.fold_in(key, g),
+                 jnp.zeros((1,) + tuple(obs[g].shape[2:]), jnp.int32))
+        for g, net in enumerate(nets)]
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(net_params)
+
+    def rollout_loss(net_params, state, obs, key):
+        total = 0.0
+        for t in range(T):
+            key, ak = jax.random.split(key)
+            logps = []
+            acts = jnp.zeros((B, params.n_agents), jnp.int32)
+            for g, (idxs, gp) in enumerate(env.obs_groups):
+                logits, _ = nets[g].apply(net_params[g], obs[g])
+                a = jax.random.categorical(jax.random.fold_in(ak, g), logits)
+                lp = jax.nn.log_softmax(logits)
+                logps.append((lp * (a[..., None] == jnp.arange(7))).sum(-1))
+                for col, i in enumerate(idxs):
+                    acts = acts.at[:, i].set(a[:, col])
+            state, obs, rew, done, info = env.step(state, acts)
+            for g, (idxs, gp) in enumerate(env.obs_groups):
+                r = rew[:, list(idxs)]
+                total = total + (logps[g] * jax.lax.stop_gradient(r)).sum() \
+                    + 1e-3 * logps[g].sum()
+        return -total / (B * T)
+
+    loss, grads = jax.value_and_grad(rollout_loss)(net_params, state, obs,
+                                                   jax.random.fold_in(key, 9))
+    updates, opt_state = tx.update(grads, opt_state, net_params)
+    new_params = optax.apply_updates(net_params, updates)
+    assert np.isfinite(float(loss))
+    moved = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         net_params, new_params)
+    assert max(jax.tree.leaves(moved)) > 0.0
+
+
+def test_hetero_flags_parity():
+    """VERDICT r2 item 7: per-agent see_through_walls / hide_item_types /
+    view_offset / observe_* / prestige params in ONE env, engine vs oracle
+    bit-parity (the flags fold into the per-group obs compilation exactly
+    like view_size did)."""
+    import jax
+
+    agents = [
+        GridAgentInterface(color="red", view_size=5,
+                           observation_style="encode",
+                           see_through_walls=True, prestige_beta=0.9),
+        GridAgentInterface(color="blue", view_size=5,
+                           observation_style="encode",
+                           hide_item_types=("goal",), prestige_scale=1.0),
+        GridAgentInterface(color="purple", view_size=5,
+                           observation_style="rich", view_offset=1,
+                           observe_rewards=True, observe_position=True,
+                           observe_orientation=True),
+    ]
+    from marlgrid_tpu.envs import ClutteredMultiGrid
+
+    env = ClutteredMultiGrid(agents=agents, grid_size=11, max_steps=25,
+                             seed=2, n_clutter=8)
+    p = env.params
+    assert p.scenario == "cluttered"
+    assert p.agent_see_through_walls == (True, False, False)
+    assert p.agent_view_offsets == (0, 0, 1)
+    assert p.agent_observe_rewards == (False, False, True)
+    assert p.agent_prestige_betas == (0.9, 0.95, 0.95)
+    assert p.agent_prestige_scales == (2.0, 1.0, 2.0)
+    assert len(env._obs_groups) == 3
+
+    oracle = OracleEnv(p)
+    obs = env.reset()
+    oobs = oracle.reset(jax.random.fold_in(env._key, 0))
+    rng = np.random.default_rng(7)
+
+    def check(a, b):
+        for i in range(3):
+            if isinstance(a[i], dict):
+                assert set(a[i]) == set(b[i])
+                for k in a[i]:
+                    np.testing.assert_allclose(
+                        np.asarray(a[i][k]), np.asarray(b[i][k]), atol=1e-5)
+            else:
+                np.testing.assert_array_equal(a[i], b[i])
+
+    check(obs, oobs)
+    for t in range(20):
+        acts = rng.integers(0, 7, 3)
+        obs, rew, done, _ = env.step(acts)
+        oobs, orew, odone, _ = oracle.step(acts)
+        np.testing.assert_allclose(rew, orew, atol=1e-5)
+        assert bool(done) == odone
+        check(obs, oobs)
+        if done:
+            break

@@ -105,3 +105,50 @@ def test_two_process_distributed_localhost(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert "DIST-OK" in out, f"worker {i} no OK marker:\n{out}"
+
+
+@pytest.mark.slow
+def test_two_process_train_cli(tmp_path):
+    """VERDICT r2 item 6: the full training CLI end-to-end under
+    jax.distributed — two real processes, one coordinator, the global
+    'data' mesh spanning both; both must complete with IDENTICAL finite
+    losses (the GSPMD psum makes every process see the same update)."""
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    port = 12356
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith("PALLAS_AXON")}
+    env.update(JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=4",
+               PYTHONPATH=repo)
+    procs = []
+    for i in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "marlgrid_tpu.parallel.train",
+             "--distributed", "--coordinator", f"localhost:{port}",
+             "--num-processes", "2", "--process-id", str(i),
+             "--scenario", "empty", "--grid-size", "9", "--agents", "2",
+             "--envs", "16", "--rollout", "8", "--iters", "2",
+             "--max-steps", "20",
+             "--metrics", str(tmp_path / f"m{i}.jsonl")],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            env=env, text=True, cwd=repo))
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"train proc {i} failed:\n{out[-3000:]}"
+    losses = []
+    for i in range(2):
+        rows = [json.loads(l) for l in
+                (tmp_path / f"m{i}.jsonl").read_text().splitlines()]
+        assert rows, f"no metrics from proc {i}"
+        assert np.isfinite(rows[-1]["loss"])
+        losses.append(rows[-1]["loss"])
+    assert losses[0] == losses[1], losses
