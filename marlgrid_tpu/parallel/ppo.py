@@ -94,7 +94,8 @@ def _gae(rew, value, done, last_value, gamma, lam):
 
 
 def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
-                    tx, mesh=None, axis=None, n_shards=1, jit=True):
+                    tx, mesh=None, axis=None, n_shards=1, jit=True,
+                    overlap=False):
     """Build the fused rollout+update step: ONE jitted program.
 
     fn(params, opt_state, env_state, key) ->
@@ -426,10 +427,7 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
         metrics["loss"] = ls.mean()
         return params, opt_state, metrics
 
-    def train_step(params, opt_state, env_state, key):
-        env_state, key, traj, last_value = rollout(params, env_state, key)
-        params, opt_state, metrics = update(params, opt_state, traj,
-                                            last_value, key)
+    def ep_metrics(metrics, traj):
         n_eps = traj["done"].astype(jnp.float32).sum()
         ep_ret = traj["ep_ret"].sum()
         ep_len = traj["ep_len"].astype(jnp.float32).sum()
@@ -445,12 +443,50 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
         metrics["episode_cycles"] = jnp.where(
             n_eps > 0, ep_cyc / jnp.maximum(n_eps, 1), 0.0)
         metrics["n_episodes"] = n_eps
+        return metrics
+
+    def train_step(params, opt_state, env_state, key):
+        env_state, key, traj, last_value = rollout(params, env_state, key)
+        params, opt_state, metrics = update(params, opt_state, traj,
+                                            last_value, key)
+        metrics = ep_metrics(metrics, traj)
         key = jax.random.fold_in(key, 1)
         return params, opt_state, env_state, key, metrics
 
-    if axis is not None or not jit:
-        # raw fn: shard_map-wrapped by the caller, or scanned by multi_step
-        return train_step
+    def rollout_only(params, env_state, key):
+        """Priming call for the overlap variant: collect the first
+        trajectory without an update."""
+        env_state, key, traj, last_value = rollout(params, env_state, key)
+        return env_state, (traj, last_value), jax.random.fold_in(key, 1)
+
+    def train_step_overlap(params, opt_state, env_state, prev, key):
+        """Overlapped iteration (SURVEY §2.3 'actor/learner overlap via
+        double-buffered device rollouts'): the update consumes the
+        PREVIOUS iteration's trajectory while this iteration's rollout
+        collects the next — both inside ONE program with no data
+        dependence between them, so the XLA scheduler interleaves the
+        rollout's latency-bound env scan with the update's GEMMs.
+        Semantics: each trajectory is optimized with params one iteration
+        stale (the clipped importance ratios absorb the off-policy-ness —
+        the standard decoupled actor/learner tradeoff)."""
+        prev_traj, prev_last = prev
+        key, rk = jax.random.split(key)
+        env_state, _, traj, last_value = rollout(params, env_state, rk)
+        params, opt_state, metrics = update(params, opt_state, prev_traj,
+                                            prev_last, key)
+        metrics = ep_metrics(metrics, traj)
+        key = jax.random.fold_in(key, 1)
+        return params, opt_state, env_state, (traj, last_value), key, metrics
+
+    if axis is not None:
+        return train_step   # raw per-shard fn; shard_map-wrapped by caller
+    if overlap:
+        if not jit:         # raw pair; scanned by multi_step_overlap
+            return train_step_overlap, jax.jit(rollout_only)
+        return (jax.jit(train_step_overlap, donate_argnums=(0, 1, 2, 3)),
+                jax.jit(rollout_only))
+    if not jit:
+        return train_step   # raw fn; scanned by multi_step
     return jax.jit(train_step, donate_argnums=(0, 1, 2))
 
 
@@ -479,6 +515,25 @@ def multi_step(step_fn, k: int):
         return params, opt_state, env_state, key, metrics
 
     return jax.jit(fn, donate_argnums=(0, 1, 2))
+
+
+def multi_step_overlap(step_fn, k: int):
+    """``multi_step`` for the overlap variant (the double-buffered
+    trajectory rides the scan carry). ``step_fn`` is the raw overlap step
+    from ``make_train_step(..., overlap=True, jit=False)``."""
+    def fn(params, opt_state, env_state, prev, key):
+        def body(carry, _):
+            params, opt_state, env_state, prev, key = carry
+            params, opt_state, env_state, prev, key, m = step_fn(
+                params, opt_state, env_state, prev, key)
+            return (params, opt_state, env_state, prev, key), m
+
+        (params, opt_state, env_state, prev, key), ms = jax.lax.scan(
+            body, (params, opt_state, env_state, prev, key), None, length=k)
+        metrics = jax.tree.map(lambda x: x[-1], ms)
+        return params, opt_state, env_state, prev, key, metrics
+
+    return jax.jit(fn, donate_argnums=(0, 1, 2, 3))
 
 
 def make_train_step_shard_map(env_params: EnvParams, cfg: PPOConfig, net,

@@ -49,6 +49,12 @@ def parse_args(argv=None):
     p.add_argument("--no-stagger", action="store_true",
                    help="disable staggered initial episode phases "
                         "(synchronized first-episode completions)")
+    p.add_argument("--overlap", action="store_true",
+                   help="double-buffered rollout/update: iteration t's "
+                        "update runs in the same program as iteration "
+                        "t+1's rollout (SURVEY §2.3 actor/learner "
+                        "overlap); trajectories are optimized one "
+                        "iteration stale")
     p.add_argument("--steps-per-call", type=int, default=1,
                    help="train iterations fused into one dispatched "
                         "program (amortizes per-dispatch host latency — "
@@ -128,13 +134,21 @@ def main(argv=None):
         params, opt_state = restored["params"], restored["opt_state"]
 
     spc = max(1, args.steps_per_call)
-    if args.shard_map:
+    prev = None
+    if args.overlap:
+        assert not args.shard_map, "--overlap + --shard-map not supported"
+        raw, prime = ppo.make_train_step(ep, cfg, net, tx, mesh=mesh,
+                                         overlap=True, jit=(spc == 1))
+        step = ppo.multi_step_overlap(raw, spc) if spc > 1 else raw
+        env_state, prev, key = prime(params, env_state, key)
+    elif args.shard_map:
         make = lambda jit: ppo.make_train_step_shard_map(  # noqa: E731
             ep, cfg, net, tx, mesh, jit=jit)
+        step = ppo.multi_step(make(False), spc) if spc > 1 else make(True)
     else:
         make = lambda jit: ppo.make_train_step(            # noqa: E731
             ep, cfg, net, tx, mesh=mesh, jit=jit)
-    step = ppo.multi_step(make(False), spc) if spc > 1 else make(True)
+        step = ppo.multi_step(make(False), spc) if spc > 1 else make(True)
     log = MetricsLogger(args.metrics)
 
     env_steps_per_iter = cfg.n_envs * cfg.rollout_len * spc
@@ -144,8 +158,12 @@ def main(argv=None):
     for it in range(n_calls):
         if args.profile_dir and it == 2:
             jax.profiler.start_trace(args.profile_dir)
-        params, opt_state, env_state, key, metrics = step(
-            params, opt_state, env_state, key)
+        if args.overlap:
+            params, opt_state, env_state, prev, key, metrics = step(
+                params, opt_state, env_state, prev, key)
+        else:
+            params, opt_state, env_state, key, metrics = step(
+                params, opt_state, env_state, key)
         # Fetching metrics forces a device->host sync; through the TPU
         # relay that costs ~0.2 s/iter (measured: 305 ms device, 490 ms
         # wall). With --log-every K the loop stays async and iterations

@@ -186,3 +186,21 @@ def test_image_recompute_learns_finite():
             params, opt_state, env_state, key)
     assert np.isfinite(float(m["loss"]))
     assert float(m["n_episodes"]) > 0
+
+
+def test_overlap_step_runs_and_aligns():
+    """Double-buffered overlap variant: priming rollout + overlapped
+    iterations produce finite metrics; at lr=0 the stale trajectory's
+    recomputed log-probs still align (params unchanged => ratio ~ 1)."""
+    cfg = ppo.PPOConfig(n_envs=8, rollout_len=8, n_epochs=1,
+                        n_minibatches=1, lr=0.0, dtype=jnp.float32)
+    key = jax.random.PRNGKey(5)
+    net, params, tx, opt_state = ppo.init_state(EP, cfg, key)
+    env_state = ppo.init_env_batch(EP, cfg.n_envs, jax.random.fold_in(key, 1))
+    step, prime = ppo.make_train_step(EP, cfg, net, tx, overlap=True)
+    env_state, prev, key = prime(params, env_state, key)
+    for _ in range(2):
+        params, opt_state, env_state, prev, key, m = step(
+            params, opt_state, env_state, prev, key)
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["ratio_dev"]) < 1e-4, float(m["ratio_dev"])
