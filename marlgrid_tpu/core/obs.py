@@ -78,14 +78,19 @@ def all_view_world_coords(params: EnvParams, state: EnvState):
     return w, inb
 
 
-def prestige_dim(params: EnvParams, prestige):
-    """(…, N) float32 sprite dim factor per agent (SPEC §8): quantized
-    prestige level -> PRESTIGE_DIM table, gather-free. The scale may
-    differ per OBSERVED agent ((N,) broadcast on the last axis)."""
+def prestige_level(params: EnvParams, prestige):
+    """(…, N) int32 quantized prestige level per agent (SPEC §8). The
+    scale may differ per OBSERVED agent ((N,) broadcast, last axis)."""
     scale = jnp.asarray(params.prestige_scale_tuple(), jnp.float32)
-    lvl = jnp.clip(jnp.floor(prestige / scale)
-                   .astype(jnp.int32), 0, C.N_PRESTIGE_LEVELS - 1)
-    oh = (lvl[..., None] == jnp.arange(C.N_PRESTIGE_LEVELS))
+    return jnp.clip(jnp.floor(prestige / scale)
+                    .astype(jnp.int32), 0, C.N_PRESTIGE_LEVELS - 1)
+
+
+def prestige_dim(params: EnvParams, prestige):
+    """(…, N) float32 sprite dim factor per agent: PRESTIGE_DIM[level],
+    gather-free."""
+    oh = (prestige_level(params, prestige)[..., None]
+          == jnp.arange(C.N_PRESTIGE_LEVELS))
     return (oh * jnp.asarray(C.PRESTIGE_DIM)).sum(-1)
 
 
@@ -377,22 +382,26 @@ def all_view_cells_b(params: EnvParams, bstate: EnvState, with_dim=False):
     acolor = jnp.zeros(vt.shape, jnp.int32)
     absdir = jnp.zeros(vt.shape, jnp.int32)
     if with_dim:
-        dimT = prestige_dim(params, bstate.prestige).T   # (N, B)
-        adim = jnp.ones(vt.shape, jnp.float32)
+        # the observed agent's quantized prestige LEVEL, not the factor:
+        # the sprite kernel packs the 3-bit level directly (recovering the
+        # level from a float factor cost an 8-way where-chain per cell);
+        # PRESTIGE_DIM[0] == 1.0, so level 0 where no agent is harmless
+        lvlT = prestige_level(params, bstate.prestige).T   # (N, B)
+        alvl = jnp.zeros(vt.shape, jnp.int32)
     for j in range(N):                             # N <= 4: static unroll
         m = (wx == px[j]) & (wy == py[j]) & inb & shown[j]
         first = m & ~any_agent                     # lowest index wins
         acolor = jnp.where(first, colors[j], acolor)
         absdir = jnp.where(first, dT[j], absdir)
         if with_dim:
-            adim = jnp.where(first, dimT[j], adim)
+            alvl = jnp.where(first, lvlT[j], alvl)
         any_agent = any_agent | m
     dobs = dT[:, None, None, :]                    # observer dir (N,1,1,B)
     reldir = jnp.where(any_agent, (absdir - dobs + 3) % 4, 0)
     acolor = jnp.where(any_agent, acolor, 0)
     if not with_dim:
         return vt, vc, vst, any_agent, acolor, reldir
-    return vt, vc, vst, any_agent, acolor, reldir, adim
+    return vt, vc, vst, any_agent, acolor, reldir, alvl
 
 
 def transparency_b(vt, vst):
@@ -483,7 +492,7 @@ def all_obs_image_b(params: EnvParams, bstate: EnvState, base_lut, agent_lut,
     """
     N, vs, T = params.n_agents, params.view_size, params.view_tile_size
     B = bstate.grid_type.shape[0]
-    vt, vc, vst, any_agent, acolor, reldir, adim = all_view_cells_b(
+    vt, vc, vst, any_agent, acolor, reldir, alvl = all_view_cells_b(
         params, bstate, with_dim=True)
     base_id = base_appearance(*apply_hidden(params, vt, vc, vst))
     agent_id = jnp.where(any_agent, 1 + acolor * 4 + reldir, 0)
@@ -499,7 +508,7 @@ def all_obs_image_b(params: EnvParams, bstate: EnvState, base_lut, agent_lut,
         # bminor=True returns the kernel's native (N, B, H, W, 3) layout,
         # skipping the final leading-dim swap (hot paths that fold (N, B)
         # into one batch dim anyway — bench, CNN torso)
-        return sprite.compose_image_b(params, base_id, agent_id, adim,
+        return sprite.compose_image_b(params, base_id, agent_id, alvl,
                                       interpret=sprite_interpret,
                                       nb_layout=bminor)
 
@@ -518,7 +527,10 @@ def all_obs_image_b(params: EnvParams, bstate: EnvState, base_lut, agent_lut,
 
     base = lut_select(base_lut, base_id, 1)        # LUT uint8 is bf16-exact
     over = lut_select(agent_lut, agent_id, 0)
-    # prestige dimming (SPEC §8): (N, vs, vs, B) -> (B, N, vs, vs) to align
+    # prestige dimming (SPEC §8): level -> factor, (N, vs, vs, B) ->
+    # (B, N, vs, vs) to align
+    adim = ((alvl[..., None] == jnp.arange(C.N_PRESTIGE_LEVELS))
+            * jnp.asarray(C.PRESTIGE_DIM)).sum(-1)
     adimB = adim.transpose(3, 0, 1, 2)[..., None, None, None]
     img = jnp.where(over[..., 3:] > 0, over[..., :3] * adimB,
                     base).astype(jnp.uint8)

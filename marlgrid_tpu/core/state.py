@@ -125,7 +125,8 @@ class EnvParams:
                      "agent_obs_styles", "agent_view_offsets",
                      "agent_see_through_walls", "agent_hide_item_types",
                      "agent_observe_rewards", "agent_observe_positions",
-                     "agent_observe_orientations"):
+                     "agent_observe_orientations", "agent_prestige_betas",
+                     "agent_prestige_scales"):
             tab = getattr(self, name)
             assert not tab or len(tab) == self.n_agents, (
                 f"{name} {tab} must be empty or have n_agents="

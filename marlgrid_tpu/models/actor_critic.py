@@ -149,10 +149,20 @@ class ActorCritic(nn.Module):
             x = x.reshape(*x.shape[:-3], -1)
         elif torso == "cnn_image":
             # rendered uint8 POV images (vs*T, vs*T, 3): Nature-CNN-style
-            # strided convs; bf16 throughout so the convs run on the MXU
-            x = obs.astype(cfg.dtype) / jnp.asarray(255.0, cfg.dtype)
-            x = nn.relu(nn.Conv(32, (8, 8), strides=(4, 4),
-                                dtype=cfg.dtype)(x))
+            # strided convs; bf16 throughout so the convs run on the MXU.
+            # The 1/255 normalization is folded THROUGH the first (linear)
+            # conv onto its 14x14x32 output instead of the 56x56x3 input —
+            # conv(x/255, W) + b == conv(x, W)/255 + b — saving a
+            # full-image elementwise pass (~5 GB/iter at B=1024 CNN PPO).
+            # (An explicit space-to-depth for the stride-4 first conv was
+            # measured SLOWER — XLA:TPU already rewrites strided convs
+            # internally; the extra relayout only added traffic.)
+            x = obs.astype(cfg.dtype)
+            x = nn.Conv(32, (8, 8), strides=(4, 4), use_bias=False,
+                        dtype=cfg.dtype, name="conv1")(x)
+            b1 = self.param("conv1_bias", nn.initializers.zeros, (32,))
+            x = nn.relu(x / jnp.asarray(255.0, cfg.dtype)
+                        + b1.astype(cfg.dtype))
             x = nn.relu(nn.Conv(64, (4, 4), strides=(2, 2),
                                 dtype=cfg.dtype)(x))
             x = nn.relu(nn.Conv(64, (3, 3), dtype=cfg.dtype)(x))

@@ -259,14 +259,14 @@ def _compose(pk, rhs1, rhs2, vs: int, nb: int, nc: int, lanes: int, bc: int,
 # Device-side entry: batch-minor ids -> reference-shaped image
 # --------------------------------------------------------------------------
 
-def compose_image_b(params, base_id, agent_id, adim, interpret=False,
+def compose_image_b(params, base_id, agent_id, alvl, interpret=False,
                     nb_layout=False):
     """(B, N, vs*T, vs*T, 3) uint8 from batch-minor per-cell ids.
 
     ``base_id``: (N, vs, vs, B) int32 appearance codes (N_BASE_APPEAR =
     black/invisible row); ``agent_id``: (N, vs, vs, B) int32 (0 = none,
-    else 1 + color*4 + reldir, already vis-masked); ``adim``: (N, vs, vs, B)
-    float32 prestige dim factor of the observed agent.
+    else 1 + color*4 + reldir, already vis-masked); ``alvl``: (N, vs, vs, B)
+    int32 quantized prestige level of the observed agent (3 bits).
 
     ``nb_layout=True`` returns the TPU-native (N, B, vs*T, vs*T, 3) layout
     (kernel row order is (n, b)), skipping the final leading-dim swap —
@@ -295,11 +295,7 @@ def compose_image_b(params, base_id, agent_id, adim, interpret=False,
     ca = jnp.full(agent_id.shape, -1, jnp.int32)
     for k, col in enumerate(colors):
         ca = jnp.where(has_agent & (acolor == col), k * 4 + reldir, ca)
-    # prestige dim LEVEL (3 bits) recovered from the factor (exact: adim is
-    # always a PRESTIGE_DIM table entry)
-    lvl = jnp.zeros(adim.shape, jnp.int32)
-    for li, f in enumerate(C.PRESTIGE_DIM):
-        lvl = jnp.where(adim == jnp.float32(f), li, lvl)
+    lvl = alvl                      # 3-bit quantized level, packed as-is
 
     # absolute contraction-slot values (vi folded in), packed into ONE int32
     vi_off = jnp.arange(vs, dtype=jnp.int32)[None, :, None, None]

@@ -104,6 +104,7 @@ class VectorEnv:
 
         self.reset = jax.jit(_reset)
         self.step = jax.jit(_step)
+        self._obs_fn = _obs
 
     @functools.cached_property
     def example_actions(self):
@@ -120,7 +121,7 @@ class VectorEnv:
         def body(carry, _):
             state, key = carry
             key, ak = jax.random.split(key)
-            obs = obs_mod.all_agent_obs_b(self.params, state)
+            obs = self._obs_fn(state)
             actions = policy_apply(None, obs, ak)
             state, obs2, rew, done, info = self.step(state, actions)
             return (state, key), dict(obs=obs, actions=actions, rew=rew,
