@@ -90,7 +90,17 @@ def engine_steps_per_sec(args, params):
                 state, rew, done, _ = step_mod.step_autoreset_with_fresh(
                     params, state, a, fresh_t)
             obs = obs_mod.all_agent_obs_b(params, state, *luts, bminor=True)
-            acc = acc + rew.sum() + obs.sum(dtype=jnp.float32) / obs.size
+            if params.observation_style == "image":
+                # integer checksum accumulate: the full-image f32
+                # sum-reduce measured 95 ms/rollout at B=32768 (22% — pure
+                # harness cost); an int32 reduce of the uint8 output skips
+                # the float convert pass. (Sliced probes were measured
+                # SLOWER: slicing the Pallas output forces a relayout
+                # copy of the whole buffer.)
+                acc = acc + rew.sum() \
+                    + obs.sum(dtype=jnp.int32).astype(jnp.float32) / obs.size
+            else:
+                acc = acc + rew.sum() + obs.sum(dtype=jnp.float32) / obs.size
             return (state, key, acc), None
 
         (state, key, acc), _ = jax.lax.scan(
@@ -100,19 +110,24 @@ def engine_steps_per_sec(args, params):
     key = jax.random.PRNGKey(0)
     state = init(key)
     state, key, acc = rollout(state, jax.random.fold_in(key, 1))
-    jax.block_until_ready(acc)  # warmup: compile + 1 run
+    float(acc)  # warmup: compile + 1 run (hard sync — see below)
 
     reps = args.reps
     t0 = time.perf_counter()
     for _ in range(reps):
         state, key, acc = rollout(state, key)
-    jax.block_until_ready(acc)
+    # HARD sync via a scalar fetch: jax.block_until_ready was observed to
+    # return WITHOUT waiting through the axon TPU relay (2026-08-21 —
+    # timed loops reported billions of env-steps/s); fetching the value
+    # forces the D2H roundtrip on every backend. acc depends on the whole
+    # rep chain, so this times all reps.
+    float(acc)
     dt = time.perf_counter() - t0
 
     if args.trace:
         jax.profiler.start_trace(args.trace)
         state, key, acc = rollout(state, key)
-        jax.block_until_ready(acc)
+        float(acc)   # hard sync (relay-safe)
         jax.profiler.stop_trace()
         with open(f"{args.trace}/hlo.txt", "w") as f:
             f.write(rollout.lower(state, key).compile().as_text())

@@ -70,11 +70,13 @@ def measure(init, rollout, B, T, reps):
     key = jax.random.PRNGKey(0)
     state = init(key)
     state, key, acc = rollout(state, jax.random.fold_in(key, 1))
-    jax.block_until_ready(acc)
+    # hard sync via value fetch: block_until_ready can return without
+    # waiting through the axon TPU relay (see bench.py)
+    np.asarray(acc).sum()
     t0 = time.perf_counter()
     for _ in range(reps):
         state, key, acc = rollout(state, key)
-    jax.block_until_ready(acc)
+    np.asarray(acc).sum()
     return B * T * reps / (time.perf_counter() - t0)
 
 

@@ -36,6 +36,8 @@ N_AGENT_APPEAR = 1 + C.N_COLORS * 4  # 0 = no agent overlay
 # contraction.
 _PACK_C = C.N_TYPES          # color multiplier
 _PACK_S = C.N_TYPES * 16     # state multiplier (color < 16)
+_PACK_A = 32768              # agent-overlay field (cell bits < 32768)
+_PACK_L = _PACK_A * 64       # prestige-level field (agent field < 64)
 
 
 @functools.lru_cache(maxsize=None)
@@ -322,7 +324,40 @@ def view_coords_bminor(params: EnvParams, bstate: EnvState):
     return wx, wy, inb
 
 
-def extract_views_b(params: EnvParams, bstate: EnvState, wx, wy, inb):
+def pack_grid_with_agents(params: EnvParams, bstate: EnvState,
+                          with_lvl=False):
+    """(B, W*H) f32 packed board WITH the agent overlay painted in:
+    value = cell + _PACK_A*(1 + color*4 + absdir) + _PACK_L*prestige_lvl.
+
+    Painting the overlay into the board lets the window-extraction einsum
+    carry agent presence/color/dir (and prestige level) through the SAME
+    contraction — the per-view-cell agent-match loop (compares over
+    (N, vs, vs, B) per observed agent) disappears from the batched obs
+    path. Painted high-index-first so the LOWEST agent index wins a shared
+    cell (ghost-mode stacking, SPEC §7); inactive agents hidden when
+    ghost_mode. Every field stays f32-exact (max ~15.9M < 2^24), so the
+    extraction contraction is still bit-exact.
+    """
+    N = params.n_agents
+    WH = params.width * params.height
+    flat = (bstate.agent_pos[..., 0] * params.height
+            + bstate.agent_pos[..., 1])                       # (B, N)
+    shown = bstate.active if params.ghost_mode \
+        else jnp.ones_like(bstate.active)
+    lvl = prestige_level(params, bstate.prestige) if with_lvl else None
+    plane = jnp.zeros((flat.shape[0], WH), jnp.int32)
+    cells = jnp.arange(WH)
+    for j in reversed(range(N)):           # lowest index paints last/wins
+        sel = (flat[:, j:j + 1] == cells) & shown[:, j:j + 1]
+        val = (1 + params.agent_colors[j] * 4) + bstate.agent_dir[:, j:j + 1]
+        if with_lvl:
+            val = val + lvl[:, j:j + 1] * 64
+        plane = jnp.where(sel, val, plane)
+    return pack_grid(bstate) + plane.astype(jnp.float32) * float(_PACK_A)
+
+
+def extract_views_b(params: EnvParams, bstate: EnvState, wx, wy, inb,
+                    packed=None):
     """Packed view values for all envs/agents: (N, vs, vs, B) int32.
 
     One batched einsum pair per call (B-major operands — the one dense
@@ -351,7 +386,7 @@ def extract_views_b(params: EnvParams, bstate: EnvState, wx, wy, inb):
         .astype(jnp.float32)
     oy = (jnp.clip(wyB[..., None], 0, H - 1) == jnp.arange(H)) \
         .astype(jnp.float32)
-    g2 = pack_grid(bstate).reshape(B, W, H)
+    g2 = (pack_grid(bstate) if packed is None else packed).reshape(B, W, H)
     tmp = jnp.einsum("bkw,bwh->bkh", ox, g2,
                      preferred_element_type=jnp.float32)
     vals = jnp.einsum("bkh,bkh->bk", tmp, oy,
@@ -363,45 +398,29 @@ def extract_views_b(params: EnvParams, bstate: EnvState, wx, wy, inb):
 
 
 def all_view_cells_b(params: EnvParams, bstate: EnvState, with_dim=False):
-    """Batched §all_view_cells, all outputs (N, vs, vs, B) batch-minor."""
-    N = params.n_agents
-    wx, wy, inb = view_coords_bminor(params, bstate)
-    pv = extract_views_b(params, bstate, wx, wy, inb)
-    vt = pv % _PACK_C
-    vc = (pv // _PACK_C) % 16
-    vst = pv // _PACK_S
+    """Batched §all_view_cells, all outputs (N, vs, vs, B) batch-minor.
 
-    # Agent overlay: lowest index wins; inactive hidden when ghost_mode.
-    px = bstate.agent_pos[..., 0].T                # (N, B)
-    py = bstate.agent_pos[..., 1].T
-    dT = bstate.agent_dir.T
-    shown = bstate.active.T if params.ghost_mode \
-        else jnp.ones_like(bstate.active.T)
-    colors = jnp.asarray(params.agent_colors, jnp.int32)
-    any_agent = jnp.zeros(vt.shape, bool)
-    acolor = jnp.zeros(vt.shape, jnp.int32)
-    absdir = jnp.zeros(vt.shape, jnp.int32)
-    if with_dim:
-        # the observed agent's quantized prestige LEVEL, not the factor:
-        # the sprite kernel packs the 3-bit level directly (recovering the
-        # level from a float factor cost an 8-way where-chain per cell);
-        # PRESTIGE_DIM[0] == 1.0, so level 0 where no agent is harmless
-        lvlT = prestige_level(params, bstate.prestige).T   # (N, B)
-        alvl = jnp.zeros(vt.shape, jnp.int32)
-    for j in range(N):                             # N <= 4: static unroll
-        m = (wx == px[j]) & (wy == py[j]) & inb & shown[j]
-        first = m & ~any_agent                     # lowest index wins
-        acolor = jnp.where(first, colors[j], acolor)
-        absdir = jnp.where(first, dT[j], absdir)
-        if with_dim:
-            alvl = jnp.where(first, lvlT[j], alvl)
-        any_agent = any_agent | m
-    dobs = dT[:, None, None, :]                    # observer dir (N,1,1,B)
-    reldir = jnp.where(any_agent, (absdir - dobs + 3) % 4, 0)
-    acolor = jnp.where(any_agent, acolor, 0)
+    The agent overlay (and prestige level when ``with_dim``) arrives
+    painted into the packed board (``pack_grid_with_agents``) and is
+    decoded from the extraction's high bits — no per-view-cell agent-match
+    loop. ``with_dim=True`` appends the observed agent's quantized
+    prestige LEVEL (int32; the sprite kernel packs the 3 bits directly)."""
+    wx, wy, inb = view_coords_bminor(params, bstate)
+    packed = pack_grid_with_agents(params, bstate, with_lvl=with_dim)
+    pv = extract_views_b(params, bstate, wx, wy, inb, packed)
+    low = pv % _PACK_A
+    vt = low % _PACK_C
+    vc = (low // _PACK_C) % 16
+    vst = low // _PACK_S
+    ab = pv // _PACK_A
+    A = ab % 64
+    any_agent = A > 0
+    acolor = jnp.where(any_agent, (A - 1) // 4, 0)
+    dobs = bstate.agent_dir.T[:, None, None, :]    # observer dir (N,1,1,B)
+    reldir = jnp.where(any_agent, ((A - 1) % 4 - dobs + 3) % 4, 0)
     if not with_dim:
         return vt, vc, vst, any_agent, acolor, reldir
-    return vt, vc, vst, any_agent, acolor, reldir, alvl
+    return vt, vc, vst, any_agent, acolor, reldir, ab // 64
 
 
 def transparency_b(vt, vst):

@@ -15,7 +15,10 @@ from typing import IO, Optional
 class MetricsLogger:
     def __init__(self, path: Optional[str] = None, stream: Optional[IO] = None,
                  flush_every: int = 1):
-        self._fh = open(path, "a") if path else (stream or sys.stdout)
+        # "w": a fresh run truncates — appending silently mixed two runs
+        # into one artifact (r3); resumed runs that want appending can pass
+        # a pre-opened stream
+        self._fh = open(path, "w") if path else (stream or sys.stdout)
         self._owns = path is not None
         self._flush_every = flush_every
         self._n = 0

@@ -23,10 +23,11 @@ pytestmark = pytest.mark.skipif(
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# floors: ~20% under the recorded round-2 numbers (BASELINE.md)
-ENCODE_FLOOR = float(os.environ.get("MARLGRID_GATE_ENCODE", 11.5e6))
-IMAGE_FLOOR = float(os.environ.get("MARLGRID_GATE_IMAGE", 3.0e6))
-PPO_FLOOR = float(os.environ.get("MARLGRID_GATE_PPO", 0.6e6))
+# floors: ~20% under the recorded round-3 numbers (BASELINE.md)
+ENCODE_FLOOR = float(os.environ.get("MARLGRID_GATE_ENCODE", 12.8e6))
+IMAGE_FLOOR = float(os.environ.get("MARLGRID_GATE_IMAGE", 3.4e6))
+PPO_FLOOR = float(os.environ.get("MARLGRID_GATE_PPO", 2.7e6))
+CNN_FLOOR = float(os.environ.get("MARLGRID_GATE_CNN", 0.18e6))
 
 
 def _bench(*extra):
@@ -58,11 +59,29 @@ def test_ppo_throughput_floor():
     out = subprocess.run(
         [sys.executable, "-m", "marlgrid_tpu.parallel.train",
          "--scenario", "goal_cycle", "--grid-size", "13", "--agents", "4",
-         "--envs", "4096", "--rollout", "64", "--iters", "12",
-         "--log-every", "10"],
+         "--envs", "4096", "--rollout", "64", "--iters", "24",
+         "--steps-per-call", "8", "--log-every", "2"],
         capture_output=True, text=True, timeout=3000, env=env, cwd=REPO)
     assert out.returncode == 0, out.stdout + out.stderr
     rows = [json.loads(ln) for ln in out.stdout.splitlines()
             if ln.startswith("{")]
     v = rows[-1]["env_steps_per_s"]
     assert v >= PPO_FLOOR, f"ppo {v:,.0f} < floor {PPO_FLOOR:,.0f}"
+
+
+def test_cnn_ppo_throughput_floor():
+    """Image-obs PPO (EnvState-store rematerialization path)."""
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    out = subprocess.run(
+        [sys.executable, "-m", "marlgrid_tpu.parallel.train",
+         "--obs", "image", "--scenario", "cluttered", "--grid-size", "15",
+         "--agents", "3", "--envs", "1024", "--rollout", "32",
+         "--iters", "16", "--steps-per-call", "4", "--epochs", "1",
+         "--log-every", "2"],
+        capture_output=True, text=True, timeout=3000, env=env, cwd=REPO)
+    assert out.returncode == 0, out.stdout + out.stderr
+    rows = [json.loads(ln) for ln in out.stdout.splitlines()
+            if ln.startswith("{")]
+    v = rows[-1]["env_steps_per_s"]
+    assert v >= CNN_FLOOR, f"cnn ppo {v:,.0f} < floor {CNN_FLOOR:,.0f}"
