@@ -63,14 +63,30 @@ class VectorEnv:
             return (jnp.asarray(rendering.base_lut(p.view_tile_size)),
                     jnp.asarray(rendering.agent_lut(p.view_tile_size)))
 
-        luts = _luts(params) if self.obs_groups is None else ()
+        def _one(p, state):
+            """One homogeneous-config batched obs: array, or the 'rich'
+            dict (pov + the observe_* fields as batched arrays —
+            ``GridAgentInterface(observation_style='rich')``, SURVEY §2.1;
+            the reference returns per-agent dicts, here each field is
+            (B, N, …))."""
+            if p.observation_style != "rich":
+                return obs_mod.all_agent_obs_b(p, state, *_luts(p))
+            pi = p.replace(observation_style="image")
+            d = {"pov": obs_mod.all_agent_obs_b(pi, state, *_luts(pi))}
+            if p.observe_rewards:
+                d["reward"] = state.last_reward
+            if p.observe_position:
+                d["position"] = state.agent_pos
+            if p.observe_orientation:
+                d["orientation"] = state.agent_dir
+            return d
 
         def _obs(state):
             if self.obs_groups is None:
-                return obs_mod.all_agent_obs_b(params, state, *luts)
+                return _one(params, state)
             return {
-                g: obs_mod.all_agent_obs_b(gp, state, *_luts(gp))[
-                    :, jnp.asarray(idxs)]
+                g: jax.tree.map(lambda x: x[:, jnp.asarray(idxs)],
+                                _one(gp, state))
                 for g, (idxs, gp) in enumerate(self.obs_groups)
             }
 

@@ -97,3 +97,32 @@ def test_rollout_fn(devices8):
     assert traj["obs"].shape == (T, B, 2, 5, 5, 3)
     assert traj["rew"].shape == (T, B, 2)
     assert traj["done"].shape == (T, B)
+
+
+def test_vector_env_rich_obs():
+    """Batched 'rich' observation style: dict of batched arrays (pov +
+    observe_* fields), matching the host wrapper's per-agent dicts."""
+    import numpy as np
+
+    from marlgrid_tpu.wrapper import MultiGridEnv, env_params_for
+
+    p = env_params_for("cluttered", 11, 2, n_clutter=6, max_steps=20,
+                       observation_style="rich", view_size=5,
+                       view_tile_size=4, observe_rewards=True,
+                       observe_position=True, observe_orientation=True)
+    env = VectorEnv(p, n_envs=4)
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert set(obs) == {"pov", "reward", "position", "orientation"}
+    assert obs["pov"].shape == (4, 2, 20, 20, 3)
+    acts = jnp.zeros((4, 2), jnp.int32)
+    state, obs, rew, done, info = env.step(state, acts)
+    assert obs["reward"].shape == (4, 2)
+    assert obs["position"].shape == (4, 2, 2)
+    # agreement with the single-env host wrapper's rich dict on env 0
+    host = MultiGridEnv(params=p, seed=0)
+    host.reset()
+    host.state = jax.tree.map(lambda x: x[0], state)
+    hobs = host._host_obs()
+    np.testing.assert_array_equal(np.asarray(obs["pov"])[0, 1],
+                                  hobs[1]["pov"])
+    assert hobs[1]["orientation"] == int(np.asarray(obs["orientation"])[0, 1])
