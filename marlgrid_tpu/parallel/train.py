@@ -117,6 +117,18 @@ def main(argv=None):
 
     key = jax.random.PRNGKey(args.seed)
     net, params, tx, opt_state = ppo.init_state(ep, cfg, key)
+    # commit learner state to a REPLICATED global sharding over the mesh:
+    # every process then holds the same committed global arrays, so
+    # checkpoints save/restore with the right shardings and jit never sees
+    # mixed device sets under multi-process (a restored single-device
+    # params next to the 'data'-sharded env batch is an error)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    rep = NamedSharding(mesh, PartitionSpec())
+    params, opt_state = jax.tree.map(
+        lambda x: jax.device_put(x, rep) if hasattr(x, "shape") else x,
+        (params, opt_state))
+    key = jax.device_put(key, rep)
     env_state = ppo.init_env_batch(ep, cfg.n_envs,
                                    jax.random.fold_in(key, 1), mesh,
                                    stagger=not args.no_stagger)
@@ -182,12 +194,13 @@ def main(argv=None):
         if (args.checkpoint_dir and args.checkpoint_every
                 and (it + 1) % args.checkpoint_every == 0):
             # env_state + key included: exact-resume of the whole system
-            # (SURVEY §5 checkpoint row; envs are just arrays)
+            # (SURVEY §5 checkpoint row; envs are just arrays). Arrays are
+            # passed SHARDED — orbax writes each process's shards, so this
+            # works unchanged under multi-host (a device_get here would
+            # fail on non-addressable global arrays)
             ckpt_mod.save(args.checkpoint_dir,
-                          dict(params=jax.device_get(params),
-                               opt_state=jax.device_get(opt_state),
-                               env_state=jax.device_get(env_state),
-                               key=jax.device_get(key)),
+                          dict(params=params, opt_state=opt_state,
+                               env_state=env_state, key=key),
                           step=it + 1)
     log.close()
     return params

@@ -37,7 +37,14 @@ def restore(path: str, like: Any, step: int = None):
     with ocp.CheckpointManager(path) as mgr:
         if step is None:
             step = mgr.latest_step()
-        like_sds = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
-            if hasattr(x, "shape") else x, like)
+        def sds(x):
+            if not hasattr(x, "shape"):
+                return x
+            # carry the sharding through: under multi-process
+            # (jax.distributed) each process must restore ITS shards of
+            # the global arrays, not a host-local copy
+            sh = getattr(x, "sharding", None)
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sh)
+
+        like_sds = jax.tree.map(sds, like)
         return mgr.restore(step, args=ocp.args.StandardRestore(like_sds))

@@ -107,16 +107,8 @@ def test_two_process_distributed_localhost(tmp_path):
         assert "DIST-OK" in out, f"worker {i} no OK marker:\n{out}"
 
 
-@pytest.mark.slow
-def test_two_process_train_cli(tmp_path):
-    """VERDICT r2 item 6: the full training CLI end-to-end under
-    jax.distributed — two real processes, one coordinator, the global
-    'data' mesh spanning both; both must complete with IDENTICAL finite
-    losses (the GSPMD psum makes every process see the same update)."""
-    import json
-
+def _run_train_procs(tmp_path, port, extra, tag):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    port = 12356
     env = {k: v for k, v in os.environ.items()
            if not k.startswith("PALLAS_AXON")}
     env.update(JAX_PLATFORMS="cpu",
@@ -129,9 +121,8 @@ def test_two_process_train_cli(tmp_path):
              "--distributed", "--coordinator", f"localhost:{port}",
              "--num-processes", "2", "--process-id", str(i),
              "--scenario", "empty", "--grid-size", "9", "--agents", "2",
-             "--envs", "16", "--rollout", "8", "--iters", "2",
-             "--max-steps", "20",
-             "--metrics", str(tmp_path / f"m{i}.jsonl")],
+             "--envs", "16", "--rollout", "8", "--max-steps", "20",
+             "--metrics", str(tmp_path / f"{tag}{i}.jsonl")] + extra,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             env=env, text=True, cwd=repo))
     outs = []
@@ -144,6 +135,22 @@ def test_two_process_train_cli(tmp_path):
         outs.append(out)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"train proc {i} failed:\n{out[-3000:]}"
+
+
+@pytest.mark.slow
+def test_two_process_train_cli(tmp_path):
+    """VERDICT r2 item 6: the full training CLI end-to-end under
+    jax.distributed — two real processes, one coordinator, the global
+    'data' mesh spanning both; both must complete with IDENTICAL finite
+    losses (the GSPMD psum makes every process see the same update).
+    Also exercises multi-process checkpoint save AND resume (orbax
+    per-process shard IO — VERDICT r2 missing #5)."""
+    import json
+
+    ckpt = tmp_path / "ckpt"
+    _run_train_procs(tmp_path, 12356,
+                     ["--iters", "2", "--checkpoint-dir", str(ckpt),
+                      "--checkpoint-every", "2"], "m")
     losses = []
     for i in range(2):
         rows = [json.loads(l) for l in
@@ -152,3 +159,11 @@ def test_two_process_train_cli(tmp_path):
         assert np.isfinite(rows[-1]["loss"])
         losses.append(rows[-1]["loss"])
     assert losses[0] == losses[1], losses
+    assert (ckpt / "2").exists(), list(ckpt.iterdir())
+    # resume the checkpoint under two fresh processes
+    _run_train_procs(tmp_path, 12357,
+                     ["--iters", "1", "--resume", str(ckpt)], "r")
+    for i in range(2):
+        rows = [json.loads(l) for l in
+                (tmp_path / f"r{i}.jsonl").read_text().splitlines()]
+        assert rows and np.isfinite(rows[-1]["loss"])
