@@ -498,7 +498,7 @@ def all_obs_encode_b(params: EnvParams, bstate: EnvState, bminor=False):
 
 def all_obs_image_b(params: EnvParams, bstate: EnvState, base_lut, agent_lut,
                     force_xla: bool = False, sprite_interpret: bool = False,
-                    bminor: bool = False):
+                    bminor: bool = False, s2d: bool = False):
     """Batched 'image' obs: (B, N, vs*T, vs*T, 3) uint8.
 
     Fast path: the Pallas sprite-composite kernel (ops/sprite.py) — compact
@@ -529,7 +529,7 @@ def all_obs_image_b(params: EnvParams, bstate: EnvState, base_lut, agent_lut,
         # into one batch dim anyway — bench, CNN torso)
         return sprite.compose_image_b(params, base_id, agent_id, alvl,
                                       interpret=sprite_interpret,
-                                      nb_layout=bminor)
+                                      nb_layout=bminor, s2d=s2d)
 
     def lut_select(lut, idx, pad_rows):
         n_rows = lut.shape[0] + pad_rows
@@ -556,6 +556,12 @@ def all_obs_image_b(params: EnvParams, bstate: EnvState, base_lut, agent_lut,
     # (B, N, vi, vj, ty, tx, 3) -> rows vj*T+ty, cols vi*T+tx
     img = img.transpose(0, 1, 3, 4, 2, 5, 6).reshape(
         B, N, vs * T, vs * T, 3)
+    if s2d:
+        # space-to-depth block-4 layout (see sprite._build_rhs): pixel
+        # (r, q) -> channel (r%4)*12 + (q%4)*3 + c of block (r//4, q//4)
+        side = vs * T // 4
+        img = img.reshape(B, N, side, 4, side, 4, 3)                  .transpose(0, 1, 2, 4, 3, 5, 6).reshape(
+                     B, N, side, side, 48)
     if bminor:
         # keep the bminor contract consistent with the sprite kernel's
         # native (N, B, ...) layout even on this fallback path
@@ -564,11 +570,13 @@ def all_obs_image_b(params: EnvParams, bstate: EnvState, base_lut, agent_lut,
 
 
 def all_agent_obs_b(params: EnvParams, bstate: EnvState, base_lut=None,
-                    agent_lut=None, bminor=False):
+                    agent_lut=None, bminor=False, s2d=False):
     """Batched obs for a batch-leading state: (B, N, …) — or a TPU-native
     layout with ``bminor=True`` ((3, N, vs, vs, B) for encode; the sprite
-    kernel's (N, B, H, W, 3) for image)."""
+    kernel's (N, B, H, W, 3) for image). ``s2d=True`` (image only) emits
+    the space-to-depth block-4 layout the 'cnn_s2d' learner consumes —
+    free in the sprite kernel (an RHS column relabeling)."""
     if params.observation_style == "encode":
         return all_obs_encode_b(params, bstate, bminor=bminor)
     return all_obs_image_b(params, bstate, base_lut, agent_lut,
-                           bminor=bminor)
+                           bminor=bminor, s2d=s2d)

@@ -147,6 +147,24 @@ class ActorCritic(nn.Module):
                 x = nn.Conv(ch, (3, 3), dtype=cfg.dtype)(x)
                 x = nn.relu(x)
             x = x.reshape(*x.shape[:-3], -1)
+        elif torso == "cnn_s2d":
+            # space-to-depth POV images (side/4, side/4, 48) uint8 — the
+            # sprite kernel emits this layout for FREE (an RHS column
+            # relabeling, ops/sprite.py), and the conv stack on 48 input
+            # channels runs ~20% faster fwd+bwd than the 8x8-stride-4
+            # first conv on 3 channels (measured scripts/cnn_bench2.py:
+            # fwd 11.8 vs 15.8 ms, fwd+bwd 63.8 vs 80.1 ms at S=49k).
+            # Same receptive-field family as the Nature CNN's first layer.
+            x = obs.astype(cfg.dtype)
+            x = nn.Conv(32, (2, 2), use_bias=False, dtype=cfg.dtype,
+                        name="conv1")(x)
+            b1 = self.param("conv1_bias", nn.initializers.zeros, (32,))
+            x = nn.relu(x / jnp.asarray(255.0, cfg.dtype)
+                        + b1.astype(cfg.dtype))
+            x = nn.relu(nn.Conv(64, (4, 4), strides=(2, 2),
+                                dtype=cfg.dtype)(x))
+            x = nn.relu(nn.Conv(64, (3, 3), dtype=cfg.dtype)(x))
+            x = x.reshape(*x.shape[:-3], -1)
         elif torso == "cnn_image":
             # rendered uint8 POV images (vs*T, vs*T, 3): Nature-CNN-style
             # strided convs; bf16 throughout so the convs run on the MXU.

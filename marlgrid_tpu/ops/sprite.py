@@ -123,14 +123,19 @@ def available(params, batch: int) -> bool:
 # --------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _build_rhs(pal, colors, vs: int, T: int):
+def _build_rhs(pal, colors, vs: int, T: int, s2d: bool = False):
     """(_K, vs*T*T*3) bf16 RHS pair: base+alpha | agent rgb.
 
     Row layout per view column vi (block-diagonal over vi):
       RHS1 rows vi*(nb+4) + j       -> base appearance pal[j] sprite bytes
       RHS1 rows vi*(nb+4) + nb + d  -> 4096 * (alpha(dir d) > 0)
       RHS2 rows vi*(4*nc) + k*4 + d -> agent rgb sprite (colors[k], dir d)
-    Column layout: ty*(vs*T*3) + vi*(T*3) + tx*3 + c  (final-image order).
+    Column layout: ty*(vs*T*3) + vi*(T*3) + tx*3 + c  (final-image order) —
+    or, with ``s2d``, SPACE-TO-DEPTH block-4 order (the layout the
+    'cnn_s2d' learner consumes: pixel (r, q) lands in channel slot
+    (r%4)*12 + (q%4)*3 + c of spatial block (r//4, q//4)): the tile
+    interleave rides the matmul either way, so the training-friendly
+    layout costs NOTHING — it is a column relabeling of the constant RHS.
     """
     from .. import rendering
 
@@ -145,6 +150,14 @@ def _build_rhs(pal, colors, vs: int, T: int):
     def cols(vi):
         ty, tx, c = np.meshgrid(np.arange(T), np.arange(T), np.arange(3),
                                 indexing="ij")
+        if s2d:
+            # within one vj stripe (T image rows): 2 block-rows of
+            # (vs*T//4) spatial blocks x 48 channels
+            assert T % 4 == 0, T
+            br, dy = ty // 4, ty % 4
+            q = vi * T + tx
+            return (br * (vs * T // 4 * 48) + (q // 4) * 48
+                    + dy * 12 + (q % 4) * 3 + c).reshape(-1)
         return (ty * (vs * T * 3) + vi * (T * 3) + tx * 3 + c).reshape(-1)
 
     for vi in range(vs):
@@ -260,7 +273,7 @@ def _compose(pk, rhs1, rhs2, vs: int, nb: int, nc: int, lanes: int, bc: int,
 # --------------------------------------------------------------------------
 
 def compose_image_b(params, base_id, agent_id, alvl, interpret=False,
-                    nb_layout=False):
+                    nb_layout=False, s2d=False):
     """(B, N, vs*T, vs*T, 3) uint8 from batch-minor per-cell ids.
 
     ``base_id``: (N, vs, vs, B) int32 appearance codes (N_BASE_APPEAR =
@@ -310,12 +323,16 @@ def compose_image_b(params, base_id, agent_id, alvl, interpret=False,
     # consumes batch-minor directly)
     pk = packed.transpose(0, 2, 1, 3).reshape(N, vs * vs, B)
 
-    r1np, r2np = _build_rhs(pal, colors, vs, T)
+    r1np, r2np = _build_rhs(pal, colors, vs, T, s2d)
     rhs1 = jnp.asarray(r1np, jnp.bfloat16)
     rhs2 = jnp.asarray(r2np, jnp.bfloat16)
     out = _compose(pk, rhs1, rhs2, vs, nb, nc, lanes, bc,
                    interpret=interpret)          # (N, B, vs*lanes)
-    img = out.reshape(N, B, vs * T, vs * T, 3)
+    if s2d:
+        side = vs * T // 4
+        img = out.reshape(N, B, side, side, 48)
+    else:
+        img = out.reshape(N, B, vs * T, vs * T, 3)
     if nb_layout:
         return img
     # (N, B, ...) -> (B, N, ...): leading-dim row shuffle of contiguous

@@ -56,10 +56,13 @@ class PPOConfig:
     recompute_image_obs: bool = True
 
 
-def obs_spec(env_params: EnvParams):
+def obs_spec(env_params: EnvParams, cfg: "PPOConfig" = None):
     """(shape, dtype) of one agent's observation for the learner."""
     if env_params.observation_style == "image":
         side = env_params.view_size * env_params.view_tile_size
+        if cfg is not None and cfg.torso == "cnn_s2d":
+            # space-to-depth layout, emitted for free by the sprite kernel
+            return (side // 4, side // 4, 48), jnp.uint8
         return (side, side, 3), jnp.uint8
     return (env_params.view_size, env_params.view_size, 3), jnp.int32
 
@@ -67,7 +70,7 @@ def obs_spec(env_params: EnvParams):
 def init_state(env_params: EnvParams, cfg: PPOConfig, key):
     """(net, params, opt, opt_state) for the shared policy."""
     net = ActorCritic(cfg)
-    obs_shape, obs_dtype = obs_spec(env_params)
+    obs_shape, obs_dtype = obs_spec(env_params, cfg)
     params = net.init(key, jnp.zeros((1,) + obs_shape, obs_dtype))
     tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
                      optax.adam(cfg.lr))
@@ -135,6 +138,8 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
     # PPOConfig.recompute_image_obs)
     recompute = (env_params.observation_style == "image"
                  and cfg.recompute_image_obs)
+    # 'cnn_s2d' consumes the sprite kernel's free space-to-depth layout
+    s2d = cfg.torso == "cnn_s2d"
 
     def obs_of(state):
         """(policy-input obs, trajectory store form) — both feature-major
@@ -145,7 +150,7 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
             fm = bm.transpose(1, 0, 2, 3, 4).reshape(
                 N, 3 * env_params.view_size ** 2, B)
             return fm, fm.astype(jnp.uint8)
-        major = obs_mod.all_agent_obs_b(env_params, state, *luts)
+        major = obs_mod.all_agent_obs_b(env_params, state, *luts, s2d=s2d)
         if recompute:
             return major, state
         return major, major.reshape(B * N, -1).astype(jnp.uint8)
@@ -243,7 +248,7 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
             st = jax.tree.map(
                 lambda x: x.reshape((-1,) + x.shape[2:]), batch["obs"])
             obs = obs_mod.all_agent_obs_b(env_params, st, *luts,
-                                          bminor=True)   # (N, S, H, W, 3)
+                                          bminor=True, s2d=s2d)
             S = obs.shape[1]
             logits, value = net.apply(
                 params, obs.reshape((N * S,) + obs.shape[2:]))
@@ -254,7 +259,7 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
                 k: batch[k].transpose(2, 0, 1).reshape(N, S)
                 for k in ("act", "logp", "val", "adv", "ret")})
         else:
-            shape, dtype = obs_spec(env_params)
+            shape, dtype = obs_spec(env_params, cfg)
             obs = batch["obs"].astype(dtype).reshape((-1,) + shape)
             logits, value = net.apply(params, obs)
         logp = jax.nn.log_softmax(logits)

@@ -37,9 +37,11 @@ def parse_args(argv=None):
     p.add_argument("--obs", default="encode", choices=["encode", "image"],
                    help="observation style fed to the learner")
     p.add_argument("--torso", default=None,
-                   choices=["mlp", "cnn", "cnn_image"],
-                   help="policy torso (default: mlp for encode, "
-                        "cnn_image for image obs)")
+                   choices=["mlp", "cnn", "cnn_image", "cnn_s2d"],
+                   help="policy torso (default: mlp for encode, cnn_s2d "
+                        "for image obs — the sprite kernel emits its "
+                        "space-to-depth input layout for free; cnn_image "
+                        "is the standard-layout Nature CNN)")
     p.add_argument("--epochs", type=int, default=2)
     p.add_argument("--minibatches", type=int, default=4)
     p.add_argument("--board-pool", type=int, default=256,
@@ -108,7 +110,7 @@ def main(argv=None):
         view_size=args.view_size, observation_style=args.obs,
         reward_decay=args.scenario != "goal_cycle",
         agent_colors=default_agent_colors(args.agents))
-    torso = args.torso or ("cnn_image" if args.obs == "image" else "mlp")
+    torso = args.torso or ("cnn_s2d" if args.obs == "image" else "mlp")
     cfg = ppo.PPOConfig(n_envs=args.envs, rollout_len=args.rollout,
                         lr=args.lr, torso=torso, n_epochs=args.epochs,
                         n_minibatches=args.minibatches,

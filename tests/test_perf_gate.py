@@ -27,7 +27,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ENCODE_FLOOR = float(os.environ.get("MARLGRID_GATE_ENCODE", 12.8e6))
 IMAGE_FLOOR = float(os.environ.get("MARLGRID_GATE_IMAGE", 3.4e6))
 PPO_FLOOR = float(os.environ.get("MARLGRID_GATE_PPO", 2.7e6))
-CNN_FLOOR = float(os.environ.get("MARLGRID_GATE_CNN", 0.18e6))
+CNN_FLOOR = float(os.environ.get("MARLGRID_GATE_CNN", 0.22e6))
 
 
 def _bench(*extra):

@@ -204,3 +204,19 @@ def test_overlap_step_runs_and_aligns():
             params, opt_state, env_state, prev, key)
     assert np.isfinite(float(m["loss"]))
     assert float(m["ratio_dev"]) < 1e-4, float(m["ratio_dev"])
+
+
+def test_image_s2d_torso_trains():
+    """cnn_s2d consumes the sprite kernel's space-to-depth layout
+    end-to-end (rollout + recompute update); finite loss, rows aligned."""
+    ep = _image_ep()
+    cfg = ppo.PPOConfig(n_envs=8, rollout_len=8, n_epochs=1,
+                        n_minibatches=1, lr=0.0, hidden=16,
+                        torso="cnn_s2d", dtype=jnp.float32)
+    key = jax.random.PRNGKey(2)
+    net, params, tx, opt_state = ppo.init_state(ep, cfg, key)
+    env_state = ppo.init_env_batch(ep, cfg.n_envs, jax.random.fold_in(key, 1))
+    step = ppo.make_train_step(ep, cfg, net, tx)
+    _, _, _, _, m = step(params, opt_state, env_state, key)
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["ratio_dev"]) < 1e-4, float(m["ratio_dev"])

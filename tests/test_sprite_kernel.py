@@ -137,3 +137,33 @@ def test_bminor_layout_consistent_on_fallback():
                                   sprite_interpret=True)
     ref = obs_mod.all_obs_image_b(params, state9, bl, al, force_xla=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_s2d_layout_matches_permuted_image():
+    """The sprite kernel's space-to-depth output (free RHS column
+    relabeling) must equal the block-4 permutation of the standard
+    image, bit for bit — on both the kernel (interpret) and XLA paths."""
+    import jax
+
+    from marlgrid_tpu.core import grid_gen, obs as obs_mod
+    from marlgrid_tpu.core.state import EnvParams, default_agent_colors
+    from marlgrid_tpu import rendering
+
+    p = EnvParams(width=11, height=11, n_agents=2, scenario="cluttered",
+                  n_clutter=6, max_steps=20, view_size=7, view_tile_size=8,
+                  observation_style="image",
+                  agent_colors=default_agent_colors(2))
+    B = 4
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    state = jax.vmap(lambda k: grid_gen.reset(p, k))(keys)
+    luts = (jnp.asarray(rendering.base_lut(8)),
+            jnp.asarray(rendering.agent_lut(8)))
+    for interp, force in ((True, False), (False, True)):
+        std = obs_mod.all_obs_image_b(p, state, *luts, force_xla=force,
+                                      sprite_interpret=interp)
+        s2d = obs_mod.all_obs_image_b(p, state, *luts, force_xla=force,
+                                      sprite_interpret=interp, s2d=True)
+        side = 56 // 4
+        ref = np.asarray(std).reshape(B, 2, side, 4, side, 4, 3) \
+            .transpose(0, 1, 2, 4, 3, 5, 6).reshape(B, 2, side, side, 48)
+        np.testing.assert_array_equal(np.asarray(s2d), ref)
