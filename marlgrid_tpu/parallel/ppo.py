@@ -38,7 +38,10 @@ class PPOConfig:
     max_grad_norm: float = 0.5
     hidden: int = 128
     channels: Tuple[int, ...] = (32, 64)
-    torso: str = "mlp"  # 'mlp' (one big MXU GEMM) | 'cnn'
+    torso: str = "mlp"  # 'mlp' (one big MXU GEMM) | 'cnn' (encode convs)
+    #   | 'cnn_image' (Nature CNN on standard images)
+    #   | 'cnn_s2d' (Nature-class CNN on the sprite kernel's free
+    #     space-to-depth layout — the fastest pixels-to-policy path)
     dtype: Any = jnp.bfloat16  # MXU-friendly compute dtype
     # training-batch layout diversity: envs resetting on the same step draw
     # from a pool of board_pool distinct fresh layouts (1 == the old

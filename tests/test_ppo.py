@@ -220,3 +220,30 @@ def test_image_s2d_torso_trains():
     _, _, _, _, m = step(params, opt_state, env_state, key)
     assert np.isfinite(float(m["loss"]))
     assert float(m["ratio_dev"]) < 1e-4, float(m["ratio_dev"])
+
+
+def test_multi_step_matches_repeated_single_steps():
+    """steps-per-call fusion is pure control flow: K fused iterations must
+    equal K separate dispatches bit-for-bit (same key threading)."""
+    cfg = ppo.PPOConfig(n_envs=8, rollout_len=4, n_epochs=1,
+                        n_minibatches=2, dtype=jnp.float32)
+    key = jax.random.PRNGKey(7)
+    net, params, tx, opt_state = ppo.init_state(EP, cfg, key)
+    env_state = ppo.init_env_batch(EP, cfg.n_envs, jax.random.fold_in(key, 1))
+
+    def copy(t):
+        return jax.tree.map(jnp.copy, t)
+
+    # both paths donate their inputs -> each gets its own copy
+    single = ppo.make_train_step(EP, cfg, net, tx)
+    p1, o1, e1, k1 = copy((params, opt_state, env_state, key))
+    for _ in range(3):
+        p1, o1, e1, k1, m1 = single(p1, o1, e1, k1)
+
+    multi = ppo.multi_step(ppo.make_train_step(EP, cfg, net, tx, jit=False), 3)
+    p3, o3, e3, k3, m3 = multi(*copy((params, opt_state, env_state, key)))
+
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), p1, p3)
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k3))
+    assert float(m1["loss"]) == float(m3["loss"])
