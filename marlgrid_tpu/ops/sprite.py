@@ -221,16 +221,21 @@ def _make_kernel(vs: int, nb: int, nc: int):
                 acc1 = oh if acc1 is None else (acc1 | oh)
                 dimf = sum(jnp.where(lv == li, d, 0.0)
                            for li, d in enumerate(dims))       # (1, bc) f32
+                # (bf16 accumulate here trips a Mosaic relayout bug — the
+                # broadcast i1 mask can't relayout (8,128)->(16,128); f32
+                # accumulate + one final convert compiles clean)
                 q = jnp.where(s2 == iota2, dimf, 0.0)
                 acc2 = q if acc2 is None else (acc2 + q)
             o1 = jax.lax.dot_general(acc1.astype(jnp.bfloat16), r1_ref[:],
                                      dn, preferred_element_type=jnp.float32)
             o2 = jax.lax.dot_general(acc2.astype(jnp.bfloat16), r2_ref[:],
                                      dn, preferred_element_type=jnp.float32)
-            a = o1 >= _ALPHA_FLAG
-            base = o1 - jnp.where(a, _ALPHA_FLAG, 0.0)
+            # o1 = base_rgb + 4096*alpha_bit; where the flag is set the base
+            # value is DISCARDED in favor of o2, so the flag never needs
+            # subtracting — o1 < 4096 wherever it is actually read
+            # (base sprite bytes <= 255, one block-diagonal row per lane).
             # no direct f32->u8 lowering; values in [0, 256) so i32 matches
-            rows.append(jnp.where(a, o2, base)
+            rows.append(jnp.where(o1 >= _ALPHA_FLAG, o2, o1)
                         .astype(jnp.int32).astype(jnp.uint8))
         o_ref[0] = jnp.concatenate(rows, axis=1)
 

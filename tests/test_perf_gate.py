@@ -25,7 +25,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # floors: ~20% under the recorded round-3 numbers (BASELINE.md)
 ENCODE_FLOOR = float(os.environ.get("MARLGRID_GATE_ENCODE", 12.8e6))
-IMAGE_FLOOR = float(os.environ.get("MARLGRID_GATE_IMAGE", 3.4e6))
+IMAGE_FLOOR = float(os.environ.get("MARLGRID_GATE_IMAGE", 3.5e6))
 PPO_FLOOR = float(os.environ.get("MARLGRID_GATE_PPO", 2.7e6))
 CNN_FLOOR = float(os.environ.get("MARLGRID_GATE_CNN", 0.22e6))
 
