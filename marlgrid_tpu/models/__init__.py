@@ -1,2 +1,2 @@
 """Model families (MXU-friendly policy/value nets)."""
-from .actor_critic import ActorCritic  # noqa: F401
+from .actor_critic import ActorCritic, RecurrentActorCritic  # noqa: F401

@@ -200,3 +200,60 @@ class ActorCritic(nn.Module):
         value = nn.Dense(1, dtype=cfg.dtype, name="v")(
             x).astype(jnp.float32)
         return logits, value[..., 0]
+
+
+class RecurrentActorCritic(nn.Module):
+    """Memory-equipped policy: OneHotEmbed torso -> GRU/LSTM cell -> heads.
+
+    The reference's flagship use case — the ICML 2021 social-learning
+    experiments driving ``IndependentLearners`` (SURVEY §2.1) — trains
+    RECURRENT agents: a 7x7 partial view cannot carry the goal-cycle phase
+    or other agents' past behavior without memory. The reference itself
+    ships no model code; this is the TPU-native recurrent family.
+
+    One call = ONE timestep: ``(obs_t, carry) -> (logits, value, carry')``.
+    Both the rollout scan and the update's sequence re-run drive the same
+    function, so recomputed hidden states (and hence log-probs at unchanged
+    params) are bit-identical to the rollout's — the recurrent PPO path's
+    row-alignment invariant (tests/test_ppo_rnn.py).
+
+    Episode-boundary resets of the carry are the CALLER's job (mask the
+    returned carry with the step's done flag); keeping the module
+    reset-free means the carried state crossing iteration boundaries needs
+    no extra bookkeeping.
+
+    The cell runs in ``cfg.dtype`` (bf16 on the MXU: 6 (S, H) x (H, H)
+    GEMMs per step with all leading dims folded into M) and the carry is
+    kept in ``cfg.dtype`` so the scan carry dtype is stable.
+    """
+
+    cfg: "object"  # PPOConfig-like: hidden/dtype/rnn ('gru' | 'lstm')
+
+    @nn.compact
+    def __call__(self, obs, carry, channel_first: bool = False,
+                 feature_major: bool = False):
+        # obs: any OneHotEmbed layout; carry: (..., S, hidden) leaves
+        # ((lead..., S) matching the embed's sample dims)
+        cfg = self.cfg
+        x = nn.relu(OneHotEmbed(cfg.hidden, cfg.dtype, name="torso0")(
+            obs, channel_first, feature_major))
+        if cfg.rnn == "lstm":
+            cell = nn.OptimizedLSTMCell(cfg.hidden, dtype=cfg.dtype,
+                                        name="cell")
+        else:
+            assert cfg.rnn == "gru", cfg.rnn
+            cell = nn.GRUCell(cfg.hidden, dtype=cfg.dtype, name="cell")
+        carry, y = cell(carry, x)
+        x = nn.relu(nn.Dense(cfg.hidden, dtype=cfg.dtype, name="torso")(y))
+        logits = nn.Dense(C.N_ACTIONS, dtype=cfg.dtype, name="pi")(
+            x).astype(jnp.float32)
+        value = nn.Dense(1, dtype=cfg.dtype, name="v")(
+            x).astype(jnp.float32)
+        return logits, value[..., 0], carry
+
+    def initial_carry(self, lead):
+        """Zero carry for ``lead`` sample dims (e.g. (N, B))."""
+        z = jnp.zeros(tuple(lead) + (self.cfg.hidden,), self.cfg.dtype)
+        # lstm (c, h) must be DISTINCT buffers: the train step donates its
+        # inputs, and donating one buffer twice is a runtime error
+        return (z, jnp.zeros_like(z)) if self.cfg.rnn == "lstm" else z

@@ -42,6 +42,10 @@ class PPOConfig:
     #   | 'cnn_image' (Nature CNN on standard images)
     #   | 'cnn_s2d' (Nature-class CNN on the sprite kernel's free
     #     space-to-depth layout — the fastest pixels-to-policy path)
+    # recurrent policy: '' (feedforward) | 'gru' | 'lstm' — selects the
+    # RecurrentActorCritic family and the sequence-aware update
+    # (parallel/ppo_rnn.py); encode/mlp path only
+    rnn: str = ""
     dtype: Any = jnp.bfloat16  # MXU-friendly compute dtype
     # training-batch layout diversity: envs resetting on the same step draw
     # from a pool of board_pool distinct fresh layouts (1 == the old

@@ -42,6 +42,10 @@ def parse_args(argv=None):
                         "for image obs — the sprite kernel emits its "
                         "space-to-depth input layout for free; cnn_image "
                         "is the standard-layout Nature CNN)")
+    p.add_argument("--rnn", default="", choices=["", "gru", "lstm"],
+                   help="recurrent policy cell (encode obs, mlp torso): "
+                        "sequence-aware PPO with env-block minibatches and "
+                        "done-masked hidden state (parallel/ppo_rnn.py)")
     p.add_argument("--epochs", type=int, default=2)
     p.add_argument("--minibatches", type=int, default=4)
     p.add_argument("--board-pool", type=int, default=256,
@@ -114,11 +118,19 @@ def main(argv=None):
     cfg = ppo.PPOConfig(n_envs=args.envs, rollout_len=args.rollout,
                         lr=args.lr, torso=torso, n_epochs=args.epochs,
                         n_minibatches=args.minibatches,
-                        board_pool=args.board_pool)
+                        board_pool=args.board_pool, rnn=args.rnn)
     mesh = make_mesh(n_model=args.model_shards)
 
     key = jax.random.PRNGKey(args.seed)
-    net, params, tx, opt_state = ppo.init_state(ep, cfg, key)
+    h = None
+    if cfg.rnn:
+        from . import ppo_rnn
+
+        assert not (args.overlap or args.shard_map), \
+            "--rnn is the GSPMD path (no --overlap/--shard-map)"
+        net, params, tx, opt_state, h = ppo_rnn.init_state_rnn(ep, cfg, key)
+    else:
+        net, params, tx, opt_state = ppo.init_state(ep, cfg, key)
     # commit learner state to a REPLICATED global sharding over the mesh:
     # every process then holds the same committed global arrays, so
     # checkpoints save/restore with the right shardings and jit never sees
@@ -135,13 +147,22 @@ def main(argv=None):
                                    jax.random.fold_in(key, 1), mesh,
                                    stagger=not args.no_stagger)
     key = jax.random.fold_in(key, 2)
+    if h is not None:
+        # carry shards like the env batch (leaves are (N, B, H))
+        from jax.sharding import PartitionSpec as _P
+
+        h = jax.tree.map(lambda x: jax.device_put(
+            x, NamedSharding(mesh, _P(None, "data"))), h)
     if args.resume:
+        tmpl = dict(params=params, opt_state=opt_state,
+                    env_state=env_state, key=key)
+        if h is not None:
+            tmpl["h"] = h
         try:
-            restored = ckpt_mod.restore(
-                args.resume, dict(params=params, opt_state=opt_state,
-                                  env_state=env_state, key=key))
+            restored = ckpt_mod.restore(args.resume, tmpl)
             env_state = restored["env_state"]
             key = restored["key"]
+            h = restored.get("h", h)
         except Exception:  # older checkpoints: params/opt only
             restored = ckpt_mod.restore(
                 args.resume, dict(params=params, opt_state=opt_state))
@@ -149,7 +170,14 @@ def main(argv=None):
 
     spc = max(1, args.steps_per_call)
     prev = None
-    if args.overlap:
+    if args.rnn:
+        from . import ppo_rnn
+
+        make = lambda jit: ppo_rnn.make_train_step_rnn(  # noqa: E731
+            ep, cfg, net, tx, mesh=mesh, jit=jit)
+        step = (ppo_rnn.multi_step_rnn(make(False), spc) if spc > 1
+                else make(True))
+    elif args.overlap:
         assert not args.shard_map, "--overlap + --shard-map not supported"
         raw, prime = ppo.make_train_step(ep, cfg, net, tx, mesh=mesh,
                                          overlap=True, jit=(spc == 1))
@@ -172,7 +200,10 @@ def main(argv=None):
     for it in range(n_calls):
         if args.profile_dir and it == 2:
             jax.profiler.start_trace(args.profile_dir)
-        if args.overlap:
+        if args.rnn:
+            params, opt_state, env_state, h, key, metrics = step(
+                params, opt_state, env_state, h, key)
+        elif args.overlap:
             params, opt_state, env_state, prev, key, metrics = step(
                 params, opt_state, env_state, prev, key)
         else:
@@ -200,10 +231,11 @@ def main(argv=None):
             # passed SHARDED — orbax writes each process's shards, so this
             # works unchanged under multi-host (a device_get here would
             # fail on non-addressable global arrays)
-            ckpt_mod.save(args.checkpoint_dir,
-                          dict(params=params, opt_state=opt_state,
-                               env_state=env_state, key=key),
-                          step=it + 1)
+            payload = dict(params=params, opt_state=opt_state,
+                           env_state=env_state, key=key)
+            if h is not None:
+                payload["h"] = h
+            ckpt_mod.save(args.checkpoint_dir, payload, step=it + 1)
     log.close()
     return params
 

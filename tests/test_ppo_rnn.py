@@ -1,0 +1,150 @@
+"""Recurrent PPO (GRU/LSTM policy family, parallel/ppo_rnn.py) on the
+virtual CPU mesh — small shapes, one compile each."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from marlgrid_tpu.core.state import EnvParams, default_agent_colors
+from marlgrid_tpu.models import RecurrentActorCritic
+from marlgrid_tpu.parallel import ppo, ppo_rnn
+from marlgrid_tpu.parallel.mesh import make_mesh
+
+EP = EnvParams(width=9, height=9, n_agents=2, scenario="empty", max_steps=10,
+               view_size=5, observation_style="encode",
+               agent_colors=default_agent_colors(2))
+
+
+def _cfg(**kw):
+    base = dict(n_envs=8, rollout_len=8, n_epochs=1, n_minibatches=2,
+                rnn="gru", hidden=16)
+    base.update(kw)
+    return ppo.PPOConfig(**base)
+
+
+def _run_steps(cfg, mesh=None, n_steps=2, seed=0):
+    key = jax.random.PRNGKey(seed)
+    net, params, tx, opt_state, h = ppo_rnn.init_state_rnn(EP, cfg, key)
+    env_state = ppo_rnn.init_env_batch(EP, cfg.n_envs,
+                                       jax.random.fold_in(key, 1), mesh)
+    step = ppo_rnn.make_train_step_rnn(EP, cfg, net, tx, mesh=mesh)
+    ms = []
+    for _ in range(n_steps):
+        params, opt_state, env_state, h, key, m = step(
+            params, opt_state, env_state, h, key)
+        ms.append({k: float(v) for k, v in m.items()})
+    return params, h, ms
+
+
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
+def test_train_step_runs_and_is_finite(cell):
+    _, h, ms = _run_steps(_cfg(rnn=cell))
+    for m in ms:
+        assert np.isfinite(m["loss"])
+        assert np.isfinite(m["entropy"]) and m["entropy"] > 0
+    # max_steps=10 < rollout_len: episodes completed, so the carry was
+    # reset at boundaries and episode metrics are populated
+    assert ms[-1]["n_episodes"] > 0
+    leaves = jax.tree.leaves(h)
+    assert all(np.isfinite(np.asarray(x, np.float32)).all() for x in leaves)
+
+
+def test_train_step_sharded(devices8):
+    mesh = make_mesh(n_data=4, n_model=2, devices=devices8)
+    _, _, ms = _run_steps(_cfg(), mesh=mesh)
+    assert np.isfinite(ms[-1]["loss"])
+
+
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
+def test_ratio_dev_alignment(cell):
+    """The update's sequence re-run from the stored h0 reproduces the
+    rollout's hidden states exactly at unchanged params: first-epoch
+    |ratio-1| ~ 0. Drift means the blocked sequences, dones, or h0 got
+    mispaired — THE correctness invariant of recurrent-PPO plumbing."""
+    cfg = _cfg(rnn=cell, lr=0.0, n_minibatches=2, dtype=jnp.float32)
+    _, _, ms = _run_steps(cfg, n_steps=1, seed=3)
+    assert ms[0]["ratio_dev"] < 1e-4, ms[0]["ratio_dev"]
+
+
+def test_carry_changes_output():
+    """The cell actually carries memory: same obs, different carry ->
+    different logits (a feedforward regression would pass everything
+    else)."""
+    cfg = _cfg(dtype=jnp.float32)
+    net = RecurrentActorCritic(cfg)
+    F = 3 * EP.view_size ** 2
+    obs = jnp.zeros((2, F, 4), jnp.int32)
+    h0 = net.initial_carry((2, 4))
+    params = net.init(jax.random.PRNGKey(0), obs, h0, feature_major=True)
+    lg0, _, h1 = net.apply(params, obs, h0, feature_major=True)
+    h_alt = jax.tree.map(lambda x: x + 1.0, h0)
+    lg1, _, _ = net.apply(params, obs, h_alt, feature_major=True)
+    assert not np.allclose(np.asarray(lg0), np.asarray(lg1))
+    # and the returned carry evolved from the zero init
+    assert any(float(np.abs(np.asarray(x)).max()) > 0
+               for x in jax.tree.leaves(h1))
+
+
+def test_multi_step_matches_repeated_single_steps():
+    """steps-per-call fusion is pure control flow for the recurrent
+    signature too: K fused iterations == K dispatches bit-for-bit."""
+    cfg = _cfg(rollout_len=4, dtype=jnp.float32)
+    key = jax.random.PRNGKey(7)
+    net, params, tx, opt_state, h = ppo_rnn.init_state_rnn(EP, cfg, key)
+    env_state = ppo_rnn.init_env_batch(EP, cfg.n_envs,
+                                       jax.random.fold_in(key, 1))
+
+    def copy(t):
+        return jax.tree.map(jnp.copy, t)
+
+    single = ppo_rnn.make_train_step_rnn(EP, cfg, net, tx)
+    p1, o1, e1, h1, k1 = copy((params, opt_state, env_state, h, key))
+    for _ in range(3):
+        p1, o1, e1, h1, k1, m1 = single(p1, o1, e1, h1, k1)
+
+    multi = ppo_rnn.multi_step_rnn(
+        ppo_rnn.make_train_step_rnn(EP, cfg, net, tx, jit=False), 3)
+    p3, o3, e3, h3, k3, m3 = multi(*copy((params, opt_state, env_state,
+                                          h, key)))
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), p1, p3)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), h1, h3)
+    assert float(m1["loss"]) == float(m3["loss"])
+
+
+def test_train_cli_rnn(tmp_path):
+    """train.py --rnn end to end (arg plumbing, h in the loop + ckpt)."""
+    from marlgrid_tpu.parallel import train
+
+    train.main(["--scenario", "empty", "--grid-size", "9", "--agents", "2",
+                "--envs", "8", "--rollout", "4", "--iters", "2",
+                "--max-steps", "10", "--rnn", "gru",
+                "--checkpoint-dir", str(tmp_path / "ck"),
+                "--checkpoint-every", "2",
+                "--metrics", str(tmp_path / "m.jsonl")])
+    assert (tmp_path / "m.jsonl").exists()
+
+
+@pytest.mark.slow
+def test_memory_learning_signal():
+    """Recurrent PPO learns on a trivial task (returns rise)."""
+    ep = EnvParams(width=7, height=7, n_agents=1, scenario="empty",
+                   max_steps=12, view_size=5, observation_style="encode",
+                   agent_colors=default_agent_colors(1))
+    cfg = ppo.PPOConfig(n_envs=64, rollout_len=24, n_epochs=2,
+                        n_minibatches=2, lr=1e-3, ent_coef=0.003,
+                        rnn="gru", hidden=64)
+    key = jax.random.PRNGKey(1)
+    net, params, tx, opt_state, h = ppo_rnn.init_state_rnn(ep, cfg, key)
+    env_state = ppo_rnn.init_env_batch(ep, cfg.n_envs,
+                                       jax.random.fold_in(key, 1))
+    step = ppo_rnn.make_train_step_rnn(ep, cfg, net, tx)
+    rets = []
+    for it in range(30):
+        params, opt_state, env_state, h, key, m = step(
+            params, opt_state, env_state, h, key)
+        rets.append(float(m["episode_return"]))
+    early = np.mean(rets[2:8])
+    late = np.mean(rets[-6:])
+    assert late > early + 0.05, f"no learning: early={early:.3f} late={late:.3f}"
