@@ -1,0 +1,40 @@
+"""Trained-checkpoint evaluation CLI (parallel/evaluate.py): train ->
+checkpoint -> restore -> policy rollout -> stats/video."""
+import json
+import os
+
+import pytest
+
+from marlgrid_tpu.parallel import evaluate, train
+
+ENV_ARGS = ["--scenario", "empty", "--grid-size", "9", "--agents", "2",
+            "--max-steps", "10", "--view-size", "5"]
+
+
+def _train(tmp_path, extra=()):
+    ck = str(tmp_path / "ck")
+    train.main(ENV_ARGS + ["--envs", "8", "--rollout", "4", "--iters", "2",
+                           "--checkpoint-dir", ck, "--checkpoint-every", "2",
+                           *extra])
+    return ck
+
+
+@pytest.mark.parametrize("rnn", ["", "gru"])
+def test_evaluate_from_checkpoint(tmp_path, capsys, rnn):
+    extra = ["--rnn", rnn] if rnn else []
+    ck = _train(tmp_path, extra)
+    out = str(tmp_path / "eval.gif")
+    evaluate.main(ENV_ARGS + ["--checkpoint", ck, "--envs", "8",
+                              "--episodes", "2", "--out", out, *extra])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["episodes"] == 2
+    assert stats["mean_length"] > 0
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
+def test_evaluate_sampled_runs(tmp_path, capsys):
+    ck = _train(tmp_path)
+    evaluate.main(ENV_ARGS + ["--checkpoint", ck, "--envs", "8",
+                              "--episodes", "1", "--sample"])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["episodes"] == 1 and stats["video"] is None
