@@ -132,12 +132,17 @@ class ActorCritic(nn.Module):
 
     @nn.compact
     def __call__(self, obs, channel_first: bool = False,
-                 feature_major: bool = False):
+                 feature_major: bool = False, aux=None):
         # obs: (..., vs, vs, 3) int32 ((..., 3, vs, vs) with channel_first,
         # (..., 3*vs*vs, S) with feature_major — samples on lanes;
-        # mlp torso only — see OneHotEmbed)
+        # mlp torso only — see OneHotEmbed). ``aux``: optional (..., d)
+        # f32 per-sample extra features (the 'rich' observation style's
+        # observe_* fields — reward/position/orientation), concatenated
+        # after the torso flatten (row-major paths only).
         cfg = self.cfg
         torso = getattr(cfg, "torso", "mlp")
+        assert aux is None or not (channel_first or feature_major), \
+            "aux features are a row-major-path feature"
         assert not ((channel_first or feature_major) and torso != "mlp"), \
             "channel_first/feature_major input is an mlp-torso " \
             "(OneHotEmbed) feature"
@@ -189,6 +194,8 @@ class ActorCritic(nn.Module):
             x = nn.relu(OneHotEmbed(cfg.hidden, cfg.dtype,
                                     name="torso0")(obs, channel_first,
                                                    feature_major))
+        if aux is not None:
+            x = jnp.concatenate([x, aux.astype(cfg.dtype)], axis=-1)
         x = nn.relu(nn.Dense(cfg.hidden, dtype=cfg.dtype, name="torso")(x))
         # 'model'-axis tensor parallelism: GSPMD shards this dense pair when
         # the caller constrains params/activations over the mesh.

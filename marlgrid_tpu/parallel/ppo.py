@@ -64,8 +64,8 @@ class PPOConfig:
 
 
 def obs_spec(env_params: EnvParams, cfg: "PPOConfig" = None):
-    """(shape, dtype) of one agent's observation for the learner."""
-    if env_params.observation_style == "image":
+    """(shape, dtype) of one agent's observation ('rich': the pov)."""
+    if env_params.observation_style in ("image", "rich"):
         side = env_params.view_size * env_params.view_tile_size
         if cfg is not None and cfg.torso == "cnn_s2d":
             # space-to-depth layout, emitted for free by the sprite kernel
@@ -74,11 +74,39 @@ def obs_spec(env_params: EnvParams, cfg: "PPOConfig" = None):
     return (env_params.view_size, env_params.view_size, 3), jnp.int32
 
 
+def aux_dim(env_params: EnvParams) -> int:
+    """Width of the 'rich' style's observe_* feature vector."""
+    return (int(env_params.observe_rewards)
+            + 2 * int(env_params.observe_position)
+            + 4 * int(env_params.observe_orientation))
+
+
+def rich_aux(env_params: EnvParams, state):
+    """(…, N, d) f32 observe_* features from a batch-leading state — the
+    'rich' dict's non-pov fields (SURVEY §3.4), learner-normalized
+    (position scaled to [0,1], orientation one-hot). None when no
+    observe_* flag is set (pov-only rich obs)."""
+    parts = []
+    if env_params.observe_rewards:
+        parts.append(state.last_reward[..., None])
+    if env_params.observe_position:
+        sc = jnp.asarray([1.0 / max(env_params.width - 1, 1),
+                          1.0 / max(env_params.height - 1, 1)], jnp.float32)
+        parts.append(state.agent_pos.astype(jnp.float32) * sc)
+    if env_params.observe_orientation:
+        parts.append((state.agent_dir[..., None]
+                      == jnp.arange(4)).astype(jnp.float32))
+    return jnp.concatenate(parts, -1) if parts else None
+
+
 def init_state(env_params: EnvParams, cfg: PPOConfig, key):
     """(net, params, opt, opt_state) for the shared policy."""
     net = ActorCritic(cfg)
     obs_shape, obs_dtype = obs_spec(env_params, cfg)
-    params = net.init(key, jnp.zeros((1,) + obs_shape, obs_dtype))
+    kw = {}
+    if env_params.observation_style == "rich" and aux_dim(env_params):
+        kw["aux"] = jnp.zeros((1, aux_dim(env_params)), jnp.float32)
+    params = net.init(key, jnp.zeros((1,) + obs_shape, obs_dtype), **kw)
     tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
                      optax.adam(cfg.lr))
     return net, params, tx, tx.init(params)
@@ -121,7 +149,13 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
     normalization statistics, and metrics.
     """
     B, T, N = cfg.n_envs // n_shards, cfg.rollout_len, env_params.n_agents
-    if env_params.observation_style == "image":
+    # 'rich' = rendered pov + observe_* aux features: the pov pipeline IS
+    # the image pipeline (pov_params), the aux vector is read straight off
+    # the stored EnvStates in the recompute update (rich_aux)
+    rich = env_params.observation_style == "rich"
+    pov_params = (env_params.replace(observation_style="image") if rich
+                  else env_params)
+    if pov_params.observation_style == "image":
         from .. import rendering
 
         luts = (jnp.asarray(rendering.base_lut(env_params.view_tile_size)),
@@ -142,9 +176,14 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
                 and cfg.torso == "mlp")
     # image-obs trajectories store the pre-step EnvState and re-render each
     # minibatch's observations inside the update (see
-    # PPOConfig.recompute_image_obs)
-    recompute = (env_params.observation_style == "image"
+    # PPOConfig.recompute_image_obs); 'rich' requires it (the aux fields
+    # come from the stored states)
+    recompute = (env_params.observation_style in ("image", "rich")
                  and cfg.recompute_image_obs)
+    assert not rich or recompute, \
+        "rich-obs PPO needs recompute_image_obs=True (EnvState store)"
+    assert not rich or cfg.torso in ("cnn_image", "cnn_s2d"), \
+        "rich-obs PPO: the pov is an image — use a cnn_image/cnn_s2d torso"
     # 'cnn_s2d' consumes the sprite kernel's free space-to-depth layout
     s2d = cfg.torso == "cnn_s2d"
 
@@ -157,7 +196,9 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
             fm = bm.transpose(1, 0, 2, 3, 4).reshape(
                 N, 3 * env_params.view_size ** 2, B)
             return fm, fm.astype(jnp.uint8)
-        major = obs_mod.all_agent_obs_b(env_params, state, *luts, s2d=s2d)
+        major = obs_mod.all_agent_obs_b(pov_params, state, *luts, s2d=s2d)
+        if rich:
+            return (major, rich_aux(env_params, state)), state
         if recompute:
             return major, state
         return major, major.reshape(B * N, -1).astype(jnp.uint8)
@@ -196,6 +237,8 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
                 # feature-major apply: logits (N, B, A), value (N, B) —
                 # every trajectory leaf on this path is (N, B)-ordered
                 logits, value = net.apply(params, obs, feature_major=True)
+            elif rich:
+                logits, value = net.apply(params, obs[0], aux=obs[1])
             else:
                 logits, value = net.apply(params, obs)  # (B, N, A), (B, N)
             if axis is None:
@@ -236,8 +279,12 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
 
         (env_state, (last_obs, _), key), traj = jax.lax.scan(
             body, (env_state, obs0, key), jnp.arange(T))
-        _, last_value = (net.apply(params, last_obs, feature_major=True)
-                         if bm_store else net.apply(params, last_obs))
+        if bm_store:
+            _, last_value = net.apply(params, last_obs, feature_major=True)
+        elif rich:
+            _, last_value = net.apply(params, last_obs[0], aux=last_obs[1])
+        else:
+            _, last_value = net.apply(params, last_obs)
         return env_state, key, traj, last_value
 
     def loss_fn(params, batch):
@@ -254,11 +301,14 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
             # render, exactly like a stored buffer)
             st = jax.tree.map(
                 lambda x: x.reshape((-1,) + x.shape[2:]), batch["obs"])
-            obs = obs_mod.all_agent_obs_b(env_params, st, *luts,
+            obs = obs_mod.all_agent_obs_b(pov_params, st, *luts,
                                           bminor=True, s2d=s2d)
             S = obs.shape[1]
+            aux = rich_aux(env_params, st) if rich else None   # (S, N, d)
+            if aux is not None:
+                aux = aux.transpose(1, 0, 2).reshape(N * S, -1)
             logits, value = net.apply(
-                params, obs.reshape((N * S,) + obs.shape[2:]))
+                params, obs.reshape((N * S,) + obs.shape[2:]), aux=aux)
             logits = logits.reshape(N, S, -1)
             value = value.reshape(N, S)
             # labels arrive (mb, c, N); align to the render's (N, S) order

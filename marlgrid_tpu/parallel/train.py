@@ -34,8 +34,13 @@ def parse_args(argv=None):
     p.add_argument("--rollout", type=int, default=64)
     p.add_argument("--iters", type=int, default=50)
     p.add_argument("--lr", type=float, default=3e-4)
-    p.add_argument("--obs", default="encode", choices=["encode", "image"],
-                   help="observation style fed to the learner")
+    p.add_argument("--obs", default="encode",
+                   choices=["encode", "image", "rich"],
+                   help="observation style fed to the learner (rich = "
+                        "rendered pov + --observe fields)")
+    p.add_argument("--observe", default="",
+                   help="comma list of rich-obs extra fields: "
+                        "rewards,position,orientation")
     p.add_argument("--torso", default=None,
                    choices=["mlp", "cnn", "cnn_image", "cnn_s2d"],
                    help="policy torso (default: mlp for encode, cnn_s2d "
@@ -108,13 +113,19 @@ def main(argv=None):
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
+    observe = {f.strip() for f in args.observe.split(",") if f.strip()}
+    assert observe <= {"rewards", "position", "orientation"}, observe
     ep = EnvParams(
         width=args.grid_size, height=args.grid_size, n_agents=args.agents,
         scenario=args.scenario, max_steps=args.max_steps,
         view_size=args.view_size, observation_style=args.obs,
+        observe_rewards="rewards" in observe,
+        observe_position="position" in observe,
+        observe_orientation="orientation" in observe,
         reward_decay=args.scenario != "goal_cycle",
         agent_colors=default_agent_colors(args.agents))
-    torso = args.torso or ("cnn_s2d" if args.obs == "image" else "mlp")
+    torso = args.torso or ("cnn_s2d" if args.obs in ("image", "rich")
+                           else "mlp")
     cfg = ppo.PPOConfig(n_envs=args.envs, rollout_len=args.rollout,
                         lr=args.lr, torso=torso, n_epochs=args.epochs,
                         n_minibatches=args.minibatches,

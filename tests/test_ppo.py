@@ -222,6 +222,53 @@ def test_image_s2d_torso_trains():
     assert float(m["ratio_dev"]) < 1e-4, float(m["ratio_dev"])
 
 
+def test_rich_obs_ppo_aligns_and_trains():
+    """'rich' obs PPO: rendered pov + observe_* aux features read off the
+    stored EnvStates in the recompute update. At lr=0 with one full-batch
+    minibatch, ratio_dev ~ 0 proves the re-rendered pov AND the
+    re-extracted aux vector align row-for-row with the stored
+    action/logp labels."""
+    ep = _image_ep(2).replace(observation_style="rich",
+                              observe_rewards=True, observe_position=True,
+                              observe_orientation=True)
+    cfg = ppo.PPOConfig(n_envs=8, rollout_len=4, n_epochs=1,
+                        n_minibatches=1, lr=0.0, hidden=16,
+                        torso="cnn_image", dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    net, params, tx, opt_state = ppo.init_state(ep, cfg, key)
+    env_state = ppo.init_env_batch(ep, cfg.n_envs, jax.random.fold_in(key, 1))
+    step = ppo.make_train_step(ep, cfg, net, tx)
+    _, _, _, _, m = step(params, opt_state, env_state, key)
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["ratio_dev"]) < 1e-4, float(m["ratio_dev"])
+    # and gradients flow with real lr across epochs/minibatches
+    cfg2 = ppo.PPOConfig(n_envs=8, rollout_len=8, n_epochs=2,
+                         n_minibatches=2, hidden=16, torso="cnn_image")
+    net2, params2, tx2, opt2 = ppo.init_state(ep, cfg2, key)
+    env2 = ppo.init_env_batch(ep, cfg2.n_envs, jax.random.fold_in(key, 2))
+    step2 = ppo.make_train_step(ep, cfg2, net2, tx2)
+    for _ in range(2):
+        params2, opt2, env2, key, m2 = step2(params2, opt2, env2, key)
+    assert np.isfinite(float(m2["loss"]))
+
+
+def test_rich_aux_features():
+    """rich_aux extracts learner-normalized observe_* fields."""
+    ep = _image_ep(2).replace(observation_style="rich",
+                              observe_rewards=True, observe_position=True,
+                              observe_orientation=True)
+    assert ppo.aux_dim(ep) == 1 + 2 + 4
+    env_state = ppo.init_env_batch(ep, 4, jax.random.PRNGKey(0))
+    aux = ppo.rich_aux(ep, env_state)
+    assert aux.shape == (4, 2, 7)
+    a = np.asarray(aux)
+    assert (a[..., 1:3] >= 0).all() and (a[..., 1:3] <= 1).all()  # position
+    np.testing.assert_allclose(a[..., 3:].sum(-1), 1.0)           # dir 1-hot
+    ep0 = ep.replace(observe_rewards=False, observe_position=False,
+                     observe_orientation=False)
+    assert ppo.rich_aux(ep0, env_state) is None
+
+
 def test_multi_step_matches_repeated_single_steps():
     """steps-per-call fusion is pure control flow: K fused iterations must
     equal K separate dispatches bit-for-bit (same key threading)."""
