@@ -42,7 +42,11 @@ def parse_args(argv=None):
     p.add_argument("--agents", type=int, default=4)
     p.add_argument("--view-size", type=int, default=7)
     p.add_argument("--max-steps", type=int, default=250)
-    p.add_argument("--obs", default="encode", choices=["encode", "image"])
+    p.add_argument("--obs", default="encode",
+                   choices=["encode", "image", "rich"])
+    p.add_argument("--observe", default="",
+                   help="comma list of rich-obs fields (match the "
+                        "training run): rewards,position,orientation")
     p.add_argument("--torso", default=None)
     p.add_argument("--rnn", default="", choices=["", "gru", "lstm"])
     p.add_argument("--hidden", type=int, default=128)
@@ -60,7 +64,9 @@ def parse_args(argv=None):
 
 def restore_policy(args, ep: EnvParams):
     """(net, params, h0_fn) from a train.py checkpoint."""
-    torso = args.torso or ("cnn_image" if args.obs == "image" else "mlp")
+    # default torso mirrors train.py's (cnn_s2d for pixels)
+    torso = args.torso or ("cnn_s2d" if args.obs in ("image", "rich")
+                           else "mlp")
     cfg = ppo.PPOConfig(n_envs=args.envs, hidden=args.hidden, torso=torso,
                         rnn=args.rnn)
     key = jax.random.PRNGKey(0)
@@ -90,21 +96,60 @@ def restore_policy(args, ep: EnvParams):
 
 def main(argv=None):
     args = parse_args(argv)
+    observe = {f.strip() for f in args.observe.split(",") if f.strip()}
+    assert observe <= {"rewards", "position", "orientation"}, observe
+    assert not (args.obs == "rich" and args.rnn), \
+        "rich-obs policies are feedforward (match training support)"
     ep = EnvParams(
         width=args.grid_size, height=args.grid_size, n_agents=args.agents,
         scenario=args.scenario, max_steps=args.max_steps,
         view_size=args.view_size, observation_style=args.obs,
+        observe_rewards="rewards" in observe,
+        observe_position="position" in observe,
+        observe_orientation="orientation" in observe,
         reward_decay=args.scenario != "goal_cycle",
         agent_colors=default_agent_colors(args.agents))
     net, params, h0 = restore_policy(args, ep)
+    torso = args.torso or ("cnn_s2d" if args.obs in ("image", "rich")
+                           else "mlp")
 
     env = MultiGridEnv(params=ep, seed=args.seed)
     rec = GridRecorder(env, tile_size=args.tile_size) if args.out else env
 
+    def obs_batch(obs_list):
+        """Host per-agent obs list -> (pov batch, aux or None), with the
+        cnn_s2d torso's space-to-depth relabeling applied host-side (the
+        host wrapper emits standard-layout images)."""
+        if args.obs == "rich":
+            pov = np.stack([o["pov"] for o in obs_list])
+            rows = []
+            for i, o in enumerate(obs_list):
+                r = []
+                if "reward" in o:
+                    r.append(o["reward"])
+                if "position" in o:
+                    r += [o["position"][0] / max(ep.width - 1, 1),
+                          o["position"][1] / max(ep.height - 1, 1)]
+                if "orientation" in o:
+                    r += [1.0 if d == o["orientation"] else 0.0
+                          for d in range(4)]
+                rows.append(r)
+            aux = (jnp.asarray(np.asarray(rows, np.float32))
+                   if rows and rows[0] else None)
+        else:
+            pov = np.stack(obs_list)
+            aux = None
+        if torso == "cnn_s2d":
+            n, hh, ww, c = pov.shape
+            pov = pov.reshape(n, hh // 4, 4, ww // 4, 4, c) \
+                .transpose(0, 1, 3, 2, 4, 5).reshape(n, hh // 4, ww // 4,
+                                                     16 * c)
+        return jnp.asarray(pov), aux
+
     @jax.jit
-    def policy(params, obs, h, key):
+    def policy(params, obs, aux, h, key):
         if h is None:
-            logits, _ = net.apply(params, obs)
+            logits, _ = net.apply(params, obs, aux=aux)
         else:
             logits, _, h = net.apply(params, obs, h)
         a = (jax.random.categorical(key, logits) if args.sample
@@ -120,9 +165,9 @@ def main(argv=None):
         total = np.zeros(ep.n_agents)
         steps = 0
         while not done:
-            obs = jnp.asarray(np.stack(obs_list))
+            obs, aux = obs_batch(obs_list)
             key, ak = jax.random.split(key)
-            a, h = policy(params, obs, h, ak)
+            a, h = policy(params, obs, aux, h, ak)
             obs_list, rew, done, _ = rec.step(np.asarray(a))
             total += np.asarray(rew)
             steps += 1

@@ -32,6 +32,23 @@ def test_evaluate_from_checkpoint(tmp_path, capsys, rnn):
     assert os.path.exists(out) and os.path.getsize(out) > 0
 
 
+def test_evaluate_rich_cnn_s2d(tmp_path, capsys):
+    """rich-obs checkpoint (cnn_s2d torso, the pixels default) evaluates
+    through the host wrapper's per-agent dicts: pov restacked + host-side
+    space-to-depth + aux rebuilt with the training normalization."""
+    rich = ["--obs", "rich", "--observe", "rewards,position,orientation"]
+    env_args = ["--scenario", "cluttered", "--grid-size", "9",
+                "--agents", "2", "--max-steps", "8", "--view-size", "5"]
+    ck = str(tmp_path / "ck")
+    train.main(env_args + rich + [
+        "--envs", "8", "--rollout", "4", "--iters", "2", "--epochs", "1",
+        "--checkpoint-dir", ck, "--checkpoint-every", "2"])
+    evaluate.main(env_args + rich + ["--checkpoint", ck, "--envs", "8",
+                                     "--episodes", "1"])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["episodes"] == 1 and stats["mean_length"] > 0
+
+
 def test_evaluate_sampled_runs(tmp_path, capsys):
     ck = _train(tmp_path)
     evaluate.main(ENV_ARGS + ["--checkpoint", ck, "--envs", "8",
