@@ -28,6 +28,7 @@ ENCODE_FLOOR = float(os.environ.get("MARLGRID_GATE_ENCODE", 12.8e6))
 IMAGE_FLOOR = float(os.environ.get("MARLGRID_GATE_IMAGE", 3.5e6))
 PPO_FLOOR = float(os.environ.get("MARLGRID_GATE_PPO", 2.7e6))
 CNN_FLOOR = float(os.environ.get("MARLGRID_GATE_CNN", 0.22e6))
+RNN_FLOOR = float(os.environ.get("MARLGRID_GATE_RNN", 1.6e6))
 
 
 def _bench(*extra):
@@ -67,6 +68,23 @@ def test_ppo_throughput_floor():
             if ln.startswith("{")]
     v = rows[-1]["env_steps_per_s"]
     assert v >= PPO_FLOOR, f"ppo {v:,.0f} < floor {PPO_FLOOR:,.0f}"
+
+
+def test_rnn_ppo_throughput_floor():
+    """Recurrent (GRU) PPO on config #5 — the sequence-aware update path."""
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    out = subprocess.run(
+        [sys.executable, "-m", "marlgrid_tpu.parallel.train",
+         "--scenario", "goal_cycle", "--grid-size", "13", "--agents", "4",
+         "--envs", "4096", "--rollout", "64", "--iters", "24",
+         "--steps-per-call", "8", "--log-every", "2", "--rnn", "gru"],
+        capture_output=True, text=True, timeout=3000, env=env, cwd=REPO)
+    assert out.returncode == 0, out.stdout + out.stderr
+    rows = [json.loads(ln) for ln in out.stdout.splitlines()
+            if ln.startswith("{")]
+    v = rows[-1]["env_steps_per_s"]
+    assert v >= RNN_FLOOR, f"rnn ppo {v:,.0f} < floor {RNN_FLOOR:,.0f}"
 
 
 def test_cnn_ppo_throughput_floor():
