@@ -230,6 +230,26 @@ class EnvParams:
     def replace(self, **kw) -> "EnvParams":
         return dataclasses.replace(self, **kw)
 
+    # --- JSON round-trip (self-describing checkpoints, SURVEY §5) ----------
+    def to_dict(self) -> dict:
+        """JSON-serializable dict of every field (tuples become lists)."""
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "EnvParams":
+        """Inverse of :meth:`to_dict` — lists revert to tuples (no EnvParams
+        field is semantically a list). Unknown keys error loudly: a config
+        written by a newer code version must not restore silently wrong."""
+        def detuple(v):
+            return tuple(detuple(x) for x in v) if isinstance(v, list) else v
+
+        names = {f.name for f in dataclasses.fields(cls)}
+        unknown = set(d) - names
+        if unknown:
+            raise ValueError(f"EnvParams.from_dict: unknown fields "
+                             f"{sorted(unknown)}")
+        return cls(**{k: detuple(v) for k, v in d.items()})
+
 
 def default_agent_colors(n: int) -> Tuple[int, ...]:
     """Reference assigns distinct colors per agent index (SURVEY §2.1 [M])."""

@@ -5,12 +5,17 @@ external repo, then watch ``GridRecorder`` gifs — SURVEY §2.1 recorder row):
 restore a ``train.py`` checkpoint, drive the reference-shaped host env with
 the trained policy, print a JSON stats line, optionally export a video.
 
-Usage (env/learner args must match the training run — they rebuild the
-checkpoint's pytree template):
+Checkpoints are SELF-DESCRIBING (train.py writes ``config.json`` with the
+full EnvParams + PPOConfig beside the orbax steps), so this needs nothing
+but the checkpoint path:
 
     python -m marlgrid_tpu.parallel.evaluate --checkpoint ckpts \
-        --scenario goal_cycle --grid-size 13 --agents 4 --envs 4096 \
         --episodes 5 --out eval.gif
+
+Explicitly passed env/model flags are cross-checked against the config and
+ERROR on mismatch (a shape-coincident mismatch would restore garbage
+silently); ``--max-steps`` is the eval-time override. Legacy checkpoints
+without config.json rebuild the template from flags as before.
 
 The checkpoint template is built with ``jax.eval_shape`` (no env batch is
 actually materialized), so evaluating a B=4096 training checkpoint on a
@@ -34,23 +39,30 @@ from . import ppo
 
 
 def parse_args(argv=None):
+    # env/model args default to None = "take it from the checkpoint's
+    # config.json" (train.py writes one since round 4 — a checkpoint is
+    # self-describing and `evaluate --checkpoint ckpts` needs no other
+    # flags). An explicitly passed flag must MATCH the config (a silent
+    # mismatch restores garbage); legacy checkpoints without config.json
+    # fall back to the historical defaults below.
     p = argparse.ArgumentParser()
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--ckpt-step", type=int, default=None)
-    p.add_argument("--scenario", default="goal_cycle")
-    p.add_argument("--grid-size", type=int, default=13)
-    p.add_argument("--agents", type=int, default=4)
-    p.add_argument("--view-size", type=int, default=7)
-    p.add_argument("--max-steps", type=int, default=250)
-    p.add_argument("--obs", default="encode",
+    p.add_argument("--scenario", default=None)
+    p.add_argument("--grid-size", type=int, default=None)
+    p.add_argument("--agents", type=int, default=None)
+    p.add_argument("--view-size", type=int, default=None)
+    p.add_argument("--max-steps", type=int, default=None,
+                   help="eval episode cap (overrides the training value)")
+    p.add_argument("--obs", default=None,
                    choices=["encode", "image", "rich"])
-    p.add_argument("--observe", default="",
+    p.add_argument("--observe", default=None,
                    help="comma list of rich-obs fields (match the "
                         "training run): rewards,position,orientation")
     p.add_argument("--torso", default=None)
-    p.add_argument("--rnn", default="", choices=["", "gru", "lstm"])
-    p.add_argument("--hidden", type=int, default=128)
-    p.add_argument("--envs", type=int, default=4096,
+    p.add_argument("--rnn", default=None, choices=["", "gru", "lstm"])
+    p.add_argument("--hidden", type=int, default=None)
+    p.add_argument("--envs", type=int, default=None,
                    help="n_envs of the TRAINING run (checkpoint template)")
     p.add_argument("--episodes", type=int, default=3)
     p.add_argument("--seed", type=int, default=0)
@@ -62,15 +74,102 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def restore_policy(args, ep: EnvParams):
+# historical flag defaults, used only for checkpoints with no config.json
+_FALLBACKS = dict(scenario="goal_cycle", grid_size=13, agents=4,
+                  view_size=7, max_steps=250, obs="encode", observe="",
+                  rnn="", hidden=128, envs=4096)
+
+
+def _parse_observe(s):
+    observe = {f.strip() for f in s.split(",") if f.strip()}
+    if not observe <= {"rewards", "position", "orientation"}:
+        raise SystemExit(
+            f"--observe: unknown field(s) "
+            f"{sorted(observe - {'rewards', 'position', 'orientation'})} "
+            f"(valid: rewards,position,orientation)")
+    return observe
+
+
+def resolve_config(args):
+    """(eval EnvParams, PPOConfig) from the checkpoint's config.json.
+
+    Explicit CLI flags are cross-checked against the config — a mismatch on
+    anything that shapes the policy/template ERRORS loudly rather than
+    restoring garbage (VERDICT r3 missing #4). ``--max-steps`` alone is an
+    eval-time override (it does not touch any restored shape). Checkpoints
+    without config.json (pre-round-4) rebuild everything from flags with
+    the historical defaults.
+    """
+    cfgj = ckpt_mod.load_config(args.checkpoint)
+    if cfgj is None:
+        for k, v in _FALLBACKS.items():
+            if getattr(args, k) is None:
+                setattr(args, k, v)
+        observe = _parse_observe(args.observe)
+        ep = EnvParams(
+            width=args.grid_size, height=args.grid_size,
+            n_agents=args.agents, scenario=args.scenario,
+            max_steps=args.max_steps, view_size=args.view_size,
+            observation_style=args.obs,
+            observe_rewards="rewards" in observe,
+            observe_position="position" in observe,
+            observe_orientation="orientation" in observe,
+            reward_decay=args.scenario != "goal_cycle",
+            agent_colors=default_agent_colors(args.agents))
+        torso = args.torso or ("cnn_s2d" if args.obs in ("image", "rich")
+                               else "mlp")
+        cfg = ppo.PPOConfig(n_envs=args.envs, hidden=args.hidden,
+                            torso=torso, rnn=args.rnn)
+        return ep, cfg
+
+    ep = EnvParams.from_dict(cfgj["env_params"])
+    cfg = ppo.ppo_config_from_dict(cfgj["ppo"])
+    checks = [
+        ("scenario", args.scenario, ep.scenario),
+        ("grid-size", args.grid_size, ep.width),
+        ("agents", args.agents, ep.n_agents),
+        ("view-size", args.view_size, ep.view_size),
+        ("obs", args.obs, ep.observation_style),
+        ("torso", args.torso, cfg.torso),
+        ("rnn", args.rnn, cfg.rnn),
+        ("hidden", args.hidden, cfg.hidden),
+        ("envs", args.envs, cfg.n_envs),
+    ]
+    if args.observe is not None:
+        want = {f for f, on in
+                [("rewards", ep.observe_rewards),
+                 ("position", ep.observe_position),
+                 ("orientation", ep.observe_orientation)] if on}
+        checks.append(("observe", ",".join(sorted(_parse_observe(
+            args.observe))), ",".join(sorted(want))))
+    mism = [f"  --{n} {g!r} != checkpoint config {w!r}"
+            for n, g, w in checks if g is not None and g != w]
+    if mism:
+        raise SystemExit(
+            "evaluate: flag(s) contradict the checkpoint's config.json "
+            "(the checkpoint is self-describing — just omit them):\n"
+            + "\n".join(mism))
+    if args.max_steps is not None and args.max_steps != ep.max_steps:
+        print(f"note: eval max_steps={args.max_steps} overrides the "
+              f"training value {ep.max_steps}", flush=True)
+        ep = ep.replace(max_steps=args.max_steps)
+    # downstream code keys off these
+    args.obs = ep.observation_style
+    args.torso, args.rnn = cfg.torso, cfg.rnn
+    return ep, cfg
+
+
+def restore_policy(args, ep: EnvParams, cfg: ppo.PPOConfig):
     """(net, params, h0_fn) from a train.py checkpoint."""
-    # default torso mirrors train.py's (cnn_s2d for pixels)
-    torso = args.torso or ("cnn_s2d" if args.obs in ("image", "rich")
-                           else "mlp")
-    cfg = ppo.PPOConfig(n_envs=args.envs, hidden=args.hidden, torso=torso,
-                        rnn=args.rnn)
     key = jax.random.PRNGKey(0)
-    if cfg.rnn:
+    if ep.has_hetero_obs:
+        from . import ppo_hetero
+
+        # hetero checkpoints: ``net``/``params`` are per-obs-group LISTS
+        net, params, tx, opt_state = ppo_hetero.init_state_hetero(
+            ep, cfg, key)
+        h = None
+    elif cfg.rnn:
         from . import ppo_rnn
 
         net, params, tx, opt_state, h = ppo_rnn.init_state_rnn(ep, cfg, key)
@@ -96,22 +195,12 @@ def restore_policy(args, ep: EnvParams):
 
 def main(argv=None):
     args = parse_args(argv)
-    observe = {f.strip() for f in args.observe.split(",") if f.strip()}
-    assert observe <= {"rewards", "position", "orientation"}, observe
-    assert not (args.obs == "rich" and args.rnn), \
-        "rich-obs policies are feedforward (match training support)"
-    ep = EnvParams(
-        width=args.grid_size, height=args.grid_size, n_agents=args.agents,
-        scenario=args.scenario, max_steps=args.max_steps,
-        view_size=args.view_size, observation_style=args.obs,
-        observe_rewards="rewards" in observe,
-        observe_position="position" in observe,
-        observe_orientation="orientation" in observe,
-        reward_decay=args.scenario != "goal_cycle",
-        agent_colors=default_agent_colors(args.agents))
-    net, params, h0 = restore_policy(args, ep)
-    torso = args.torso or ("cnn_s2d" if args.obs in ("image", "rich")
-                           else "mlp")
+    ep, cfg = resolve_config(args)
+    if args.obs == "rich" and args.rnn:
+        raise SystemExit(
+            "rich-obs policies are feedforward (match training support)")
+    net, params, h0 = restore_policy(args, ep, cfg)
+    torso = cfg.torso
 
     env = MultiGridEnv(params=ep, seed=args.seed)
     rec = GridRecorder(env, tile_size=args.tile_size) if args.out else env
@@ -156,6 +245,34 @@ def main(argv=None):
              else jnp.argmax(logits, axis=-1))
         return a, h
 
+    if ep.has_hetero_obs:
+        # per-group policies on the host wrapper's per-agent obs list
+        # (shapes differ across groups — stack within each group only)
+        from ..vector import obs_groups as _obs_groups
+
+        groups = _obs_groups(ep)
+
+        @jax.jit
+        def policy_hetero(params_list, group_obs, key):
+            acts = jnp.zeros((ep.n_agents,), jnp.int32)
+            for g, (idxs, _) in enumerate(groups):
+                logits, _v = net[g].apply(params_list[g], group_obs[g])
+                a = (jax.random.categorical(jax.random.fold_in(key, g),
+                                            logits)
+                     if args.sample else jnp.argmax(logits, axis=-1))
+                acts = acts.at[jnp.asarray(idxs)].set(a)
+            return acts
+
+        def act(obs_list, h, ak):
+            group_obs = tuple(
+                jnp.asarray(np.stack([obs_list[i] for i in idxs]))
+                for idxs, _ in groups)
+            return policy_hetero(params, group_obs, ak), None
+    else:
+        def act(obs_list, h, ak):
+            obs, aux = obs_batch(obs_list)
+            return policy(params, obs, aux, h, ak)
+
     key = jax.random.PRNGKey(args.seed + 1)
     returns, lengths = [], []
     for epi in range(args.episodes):
@@ -165,9 +282,8 @@ def main(argv=None):
         total = np.zeros(ep.n_agents)
         steps = 0
         while not done:
-            obs, aux = obs_batch(obs_list)
             key, ak = jax.random.split(key)
-            a, h = policy(params, obs, aux, h, ak)
+            a, h = act(obs_list, h, ak)
             obs_list, rew, done, _ = rec.step(np.asarray(a))
             total += np.asarray(rew)
             steps += 1

@@ -46,6 +46,14 @@ class PPOConfig:
     # RecurrentActorCritic family and the sequence-aware update
     # (parallel/ppo_rnn.py); encode/mlp path only
     rnn: str = ""
+    # truncated BPTT for the recurrent update: chunk the stored T-step
+    # sequences into length-L windows (0 = full T). Each window re-runs
+    # from ITS stored rollout carry, so gradients truncate at window
+    # boundaries while the forward states stay exact; the update's
+    # sequential scan shortens T -> L with W=T/L more (hence wider)
+    # minibatch blocks — the horizon/throughput knob for device-resident
+    # recurrent PPO (VERDICT r3 weak #2).
+    bptt_window: int = 0
     dtype: Any = jnp.bfloat16  # MXU-friendly compute dtype
     # training-batch layout diversity: envs resetting on the same step draw
     # from a pool of board_pool distinct fresh layouts (1 == the old
@@ -61,6 +69,25 @@ class PPOConfig:
     # kernel FLOPs (the buffer's store relayout dominated CNN PPO at 48k
     # env-steps/s in round 2). False = the round-2 row store.
     recompute_image_obs: bool = True
+
+
+def ppo_config_to_dict(cfg: PPOConfig) -> dict:
+    """JSON-serializable PPOConfig (dtype dropped — it is a code choice,
+    not run configuration); for the checkpoint's config.json."""
+    d = dataclasses.asdict(cfg)
+    d.pop("dtype")
+    return d
+
+
+def ppo_config_from_dict(d: dict) -> PPOConfig:
+    """Inverse of :func:`ppo_config_to_dict`."""
+    names = {f.name for f in dataclasses.fields(PPOConfig)} - {"dtype"}
+    unknown = set(d) - names
+    if unknown:
+        raise ValueError(f"PPOConfig from config.json: unknown fields "
+                         f"{sorted(unknown)}")
+    d = {k: tuple(v) if isinstance(v, list) else v for k, v in d.items()}
+    return PPOConfig(**d)
 
 
 def obs_spec(env_params: EnvParams, cfg: "PPOConfig" = None):
@@ -448,8 +475,18 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
             blocked = jax.tree.map(
                 lambda x: x.reshape((G, rows) + x.shape[1:]), flat)
         # a remainder of blocks that does not fill every minibatch is
-        # dropped from the epoch (at most n_minibatches-1 blocks)
+        # dropped from the epoch (at most n_minibatches-1 blocks); G is
+        # static, so the drop is reported once at trace time (no-silent-caps)
         used = (G // cfg.n_minibatches) * cfg.n_minibatches
+        if used < G:
+            import warnings
+
+            warnings.warn(
+                f"PPO minibatching: {G} trajectory blocks do not divide "
+                f"into {cfg.n_minibatches} minibatches; dropping {G - used} "
+                f"block(s) (~{100 * (G - used) / G:.1f}% of each epoch's "
+                f"data). Pick n_minibatches dividing {G} to use all of it.",
+                stacklevel=2)
 
         def epoch(carry, _):
             params, opt_state, key = carry

@@ -11,12 +11,21 @@ TPU-first design decisions:
 
 - **Rollout and update drive ONE per-timestep function**
   (``RecurrentActorCritic.__call__``): the update re-runs each minibatch's
-  full T-step sequence under ``lax.scan`` from the STORED rollout-initial
-  hidden state (the standard device-resident recurrent-PPO recipe: stored
-  h0 becomes one-iteration stale across epochs; the clipped ratios absorb
-  it). Re-running the identical op sequence makes recomputed log-probs at
+  stored sequences under ``lax.scan`` from STORED rollout carries (the
+  standard device-resident recurrent-PPO recipe: stored carries become
+  one-iteration stale across epochs; the clipped ratios absorb it).
+  Re-running the identical op sequence makes recomputed log-probs at
   unchanged params match the rollout's — the row-alignment invariant
   (tests/test_ppo_rnn.py::test_ratio_dev_alignment).
+
+- **Truncated BPTT** (``PPOConfig.bptt_window``): the T-step sequences
+  chunk into W windows of L steps; the rollout stores the carry ENTERING
+  each window, the update re-runs windows independently (gradients
+  truncate at window boundaries, forward states stay exact — ratio_dev
+  still ~0 at unchanged params), and minibatch blocks widen W-fold so the
+  update's sequential scan shortens T -> L with bigger GEMMs per cell
+  step. L is the horizon/throughput knob; L=T (default) is the round-3
+  full-sequence update.
 
 - **Minibatches are ENV blocks, not row shuffles.** A recurrent loss needs
   whole sequences, so the shuffle granularity is (env-chunk) blocks of c
@@ -72,16 +81,33 @@ def init_state_rnn(env_params: EnvParams, cfg: PPOConfig, key):
 
 
 def make_train_step_rnn(env_params: EnvParams, cfg: PPOConfig, net,
-                        tx, mesh=None, jit=True):
+                        tx, mesh=None, jit=True, axis=None, n_shards=1):
     """Fused recurrent rollout+update — ONE jitted program.
 
     fn(params, opt_state, env_state, h, key) ->
         (params, opt_state, env_state, h, key, metrics)
+
+    ``axis``/``n_shards``: the shard_map variant
+    (``make_train_step_rnn_shard_map``) — the fn then operates on the
+    LOCAL env shard (B = cfg.n_envs // n_shards) with explicit
+    ``lax.pmean``/``psum`` collectives over ``axis`` for gradients,
+    advantage statistics, and episode metrics (the feedforward recipe of
+    ppo.make_train_step applied to the recurrent signature — the carry is
+    env-sharded like the env batch and never crosses shards).
     """
     assert cfg.rnn in ("gru", "lstm"), cfg.rnn
     assert env_params.observation_style == "encode" and cfg.torso == "mlp"
-    B, T, N = cfg.n_envs, cfg.rollout_len, env_params.n_agents
+    B, T, N = cfg.n_envs // n_shards, cfg.rollout_len, env_params.n_agents
     F = 3 * env_params.view_size ** 2
+    # truncated BPTT (PPOConfig.bptt_window): sequences chunk into W
+    # windows of L steps, each re-run from its STORED rollout carry —
+    # gradients truncate at window boundaries, the update scan shortens
+    # T -> L, and minibatch blocks widen W-fold (bigger GEMMs per cell
+    # step). L == T (the default) is exactly the round-3 full-sequence
+    # update: the W=1 reshapes below reduce to the old transforms.
+    L = cfg.bptt_window or T
+    assert T % L == 0, f"bptt_window {L} must divide rollout_len {T}"
+    W = T // L
 
     def obs_of(state):
         """(policy obs int32, store uint8), both feature-major (N, F, B)."""
@@ -111,8 +137,10 @@ def make_train_step_rnn(env_params: EnvParams, cfg: PPOConfig, net,
 
     def rollout(params, env_state, h, key):
         obs0 = obs_of(env_state)
-        h0 = h                                  # stored for the update
         key, fk = jax.random.split(key)
+        if axis is not None:
+            # distinct fresh-board layouts per shard (the key is replicated)
+            fk = jax.random.fold_in(fk, jax.lax.axis_index(axis))
         fresh_b = constrain(step_mod.fresh_pool_tiled(env_params, fk, K, B))
 
         def body(carry, t):
@@ -121,13 +149,23 @@ def make_train_step_rnn(env_params: EnvParams, cfg: PPOConfig, net,
             key, ak = jax.random.split(key)
             logits, value, h = net.apply(params, obs, h,
                                          feature_major=True)
-            a = jax.random.categorical(ak, logits)          # (N, B)
+            if axis is None:
+                a = jax.random.categorical(ak, logits)      # (N, B)
+            else:
+                # per-env action keys from the GLOBAL env index: the
+                # sampled stream is independent of the shard count
+                env_ids = jax.lax.axis_index(axis) * B + jnp.arange(B)
+                akeys = jax.vmap(jax.random.fold_in, (None, 0))(ak, env_ids)
+                a = jax.vmap(jax.random.categorical,
+                             in_axes=(0, 1), out_axes=1)(akeys, logits)
             logp = jax.nn.log_softmax(logits)
             logp_a = (logp * (a[..., None] == jnp.arange(logp.shape[-1]))
                       ).sum(-1)
+            off = 0 if axis is None else jax.lax.axis_index(axis) * B
             env_state, rew, done, info = \
                 step_mod.step_autoreset_with_fresh_batch(
-                    env_params, env_state, a.T, fresh_t, salt=t)
+                    env_params, env_state, a.T, fresh_t, env_offset=off,
+                    salt=t)
             env_state = constrain(env_state)
             h = constrain_h(mask_carry(h, done))
             tr = dict(obs=store, act=a, logp=logp_a, val=value,
@@ -136,36 +174,64 @@ def make_train_step_rnn(env_params: EnvParams, cfg: PPOConfig, net,
                       ep_cyc=info["episode_cycles"])
             return (env_state, obs_of(env_state), h, key), tr
 
-        (env_state, (last_obs, _), h, key), traj = jax.lax.scan(
-            body, (env_state, obs0, h, key), jnp.arange(T))
+        def window(carry, wi):
+            # carry[2] is the carry ENTERING this window — stored so the
+            # update can re-run the window's L steps from the exact
+            # rollout state (truncated BPTT)
+            h_start = carry[2]
+            carry, tr = jax.lax.scan(body, carry, wi * L + jnp.arange(L))
+            return carry, (tr, h_start)
+
+        (env_state, (last_obs, _), h, key), (traj, h0s) = jax.lax.scan(
+            window, (env_state, obs0, h, key), jnp.arange(W))
+        # (W, L, …) window stacking is time order — flatten back to (T, …)
+        traj = jax.tree.map(lambda x: x.reshape((T,) + x.shape[2:]), traj)
         _, last_value, _ = net.apply(params, last_obs, h,
                                      feature_major=True)
-        return env_state, h, key, traj, h0, last_value
+        return env_state, h, key, traj, h0s, last_value
 
-    # --- sequence blocking: (env-chunk) blocks x full T ------------------
+    # --- sequence blocking: (window x env-chunk) blocks of L steps -------
+    # B splits into Gc chunks of c lanes; with W windows the shuffle
+    # granularity is G = W*Gc blocks, each a full L-step sequence with its
+    # own stored entry carry. At W=1 every transform below reduces to the
+    # round-3 full-sequence blocking.
     c = B
     while c % 2 == 0 and c // 2 >= 128 and B // c < 64:
         c //= 2
-    while B // c < cfg.n_minibatches and c % 2 == 0:
+    while W * (B // c) < cfg.n_minibatches and c % 2 == 0:
         c //= 2                                 # tiny test batches
-    G = B // c
+    Gc = B // c
+    G = W * Gc
     assert G >= cfg.n_minibatches, (G, cfg.n_minibatches)
     used = (G // cfg.n_minibatches) * cfg.n_minibatches
+    if used < G:
+        import warnings
 
-    def blocked_traj(traj, h0, adv, ret, val):
-        def env_minor(x):                       # (T, N, B) -> (G, T, N, c)
-            return x.reshape(T, N, G, c).transpose(2, 0, 1, 3)
+        warnings.warn(
+            f"recurrent PPO minibatching: {G} sequence blocks do not "
+            f"divide into {cfg.n_minibatches} minibatches; dropping "
+            f"{G - used} block(s) (~{100 * (G - used) / G:.1f}% of each "
+            f"epoch's data). Pick n_minibatches dividing {G} to use all "
+            f"of it.", stacklevel=2)
+
+    def blocked_traj(traj, h0s, adv, ret, val):
+        def env_minor(x):                   # (T, N, B) -> (G, L, N, c)
+            return x.reshape(W, L, N, Gc, c).transpose(0, 3, 1, 2, 4) \
+                .reshape(G, L, N, c)
 
         return dict(
-            obs=traj["obs"].reshape(T, N, F, G, c).transpose(3, 0, 1, 2, 4),
+            obs=traj["obs"].reshape(W, L, N, F, Gc, c)
+                .transpose(0, 4, 1, 2, 3, 5).reshape(G, L, N, F, c),
             act=env_minor(traj["act"]),
             logp=env_minor(traj["logp"]),
             val=env_minor(val),
             adv=env_minor(adv),
             ret=env_minor(ret),
-            done=traj["done"].reshape(T, G, c).transpose(1, 0, 2),
+            done=traj["done"].reshape(W, L, Gc, c).transpose(0, 2, 1, 3)
+                .reshape(G, L, c),
             h0=jax.tree.map(
-                lambda x: x.reshape(N, G, c, -1).transpose(1, 0, 2, 3), h0),
+                lambda x: x.reshape(W, N, Gc, c, -1)
+                .transpose(0, 2, 1, 3, 4).reshape(G, N, c, -1), h0s),
         )
 
     def loss_fn(params, batch):
@@ -188,7 +254,13 @@ def make_train_step_rnn(env_params: EnvParams, cfg: PPOConfig, net,
                           == jnp.arange(logp.shape[-1]))).sum(-1)
         ratio = jnp.exp(logp_a - lab["logp"])
         adv = lab["adv"]
-        adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+        if axis is None:
+            adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+        else:
+            # advantage statistics over the GLOBAL minibatch
+            m = jax.lax.pmean(adv.mean(), axis)
+            var = jax.lax.pmean(((adv - m) ** 2).mean(), axis)
+            adv = (adv - m) / (jnp.sqrt(var) + 1e-8)
         pg = -jnp.minimum(
             ratio * adv,
             jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv).mean()
@@ -202,14 +274,14 @@ def make_train_step_rnn(env_params: EnvParams, cfg: PPOConfig, net,
         return total, dict(pg_loss=pg, vf_loss=vf, entropy=ent,
                            ratio_dev=ratio_dev)
 
-    def update(params, opt_state, traj, h0, last_value, key):
+    def update(params, opt_state, traj, h0s, last_value, key):
         rew = traj["rew"].reshape(T, N * B)
         val = traj["val"].reshape(T, N * B)
         done = jnp.broadcast_to(traj["done"][:, None, :],
                                 (T, N, B)).reshape(T, N * B)
         adv, ret = _gae(rew, val, done, last_value.reshape(-1),
                         cfg.gamma, cfg.gae_lambda)
-        blocked = blocked_traj(traj, h0, adv.reshape(T, N, B),
+        blocked = blocked_traj(traj, h0s, adv.reshape(T, N, B),
                                ret.reshape(T, N, B), traj["val"])
 
         def epoch(carry, _):
@@ -222,6 +294,11 @@ def make_train_step_rnn(env_params: EnvParams, cfg: PPOConfig, net,
                 batch = jax.tree.map(lambda x: x[idx], blocked)
                 (l, aux), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(params, batch)
+                if axis is not None:
+                    # the data-parallel gradient all-reduce, written out
+                    grads = jax.lax.pmean(grads, axis)
+                    l = jax.lax.pmean(l, axis)
+                    aux = jax.lax.pmean(aux, axis)
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), (l, aux)
@@ -240,29 +317,67 @@ def make_train_step_rnn(env_params: EnvParams, cfg: PPOConfig, net,
 
     def ep_metrics(metrics, traj):
         n_eps = traj["done"].astype(jnp.float32).sum()
+        ep_ret = traj["ep_ret"].sum()
+        ep_len = traj["ep_len"].astype(jnp.float32).sum()
+        ep_cyc = traj["ep_cyc"].astype(jnp.float32).sum()
+        if axis is not None:
+            n_eps, ep_ret, ep_len, ep_cyc = (
+                jax.lax.psum(v, axis) for v in (n_eps, ep_ret, ep_len,
+                                                ep_cyc))
         metrics["episode_return"] = jnp.where(
-            n_eps > 0, traj["ep_ret"].sum() / jnp.maximum(n_eps, 1), 0.0)
+            n_eps > 0, ep_ret / jnp.maximum(n_eps, 1), 0.0)
         metrics["episode_length"] = jnp.where(
-            n_eps > 0, traj["ep_len"].astype(jnp.float32).sum()
-            / jnp.maximum(n_eps, 1), 0.0)
+            n_eps > 0, ep_len / jnp.maximum(n_eps, 1), 0.0)
         metrics["episode_cycles"] = jnp.where(
-            n_eps > 0, traj["ep_cyc"].astype(jnp.float32).sum()
-            / jnp.maximum(n_eps, 1), 0.0)
+            n_eps > 0, ep_cyc / jnp.maximum(n_eps, 1), 0.0)
         metrics["n_episodes"] = n_eps
         return metrics
 
     def train_step(params, opt_state, env_state, h, key):
-        env_state, h, key, traj, h0, last_value = rollout(
+        env_state, h, key, traj, h0s, last_value = rollout(
             params, env_state, h, key)
-        params, opt_state, metrics = update(params, opt_state, traj, h0,
+        params, opt_state, metrics = update(params, opt_state, traj, h0s,
                                             last_value, key)
         metrics = ep_metrics(metrics, traj)
         key = jax.random.fold_in(key, 1)
         return params, opt_state, env_state, h, key, metrics
 
+    if axis is not None:
+        return train_step   # raw per-shard fn; shard_map-wrapped by caller
     if not jit:
         return train_step       # raw fn; scanned by multi_step_rnn
     return jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
+
+
+def make_train_step_rnn_shard_map(env_params: EnvParams, cfg: PPOConfig,
+                                  net, tx, mesh, jit=True):
+    """Explicit-collective variant of ``make_train_step_rnn`` (SURVEY §2.3
+    multi-host row; the recurrent sibling of
+    ``ppo.make_train_step_shard_map``): env batch, trajectories, AND the
+    recurrent carry stay LOCAL to each 'data' shard under ``shard_map`` —
+    the carry is per-env state, so it shards exactly like the env batch
+    (leaves (N, B, H) partitioned on dim 1) and no collective ever touches
+    it. Gradients/advantage statistics/metrics cross shards through
+    hand-written ``lax.pmean``/``psum``; action sampling is keyed per
+    global env index (shard-count invariant, tested 4-shard == 1-shard on
+    the virtual CPU mesh)."""
+    from jax.sharding import PartitionSpec
+
+    D = mesh.shape["data"]
+    assert cfg.n_envs % D == 0, (cfg.n_envs, D)
+    local = make_train_step_rnn(env_params, cfg, net, tx, axis="data",
+                                n_shards=D)
+    hspec = PartitionSpec(None, "data")       # carry leaves (N, B, H)
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(PartitionSpec(), PartitionSpec(), PartitionSpec("data"),
+                  hspec, PartitionSpec()),
+        out_specs=(PartitionSpec(), PartitionSpec(), PartitionSpec("data"),
+                   hspec, PartitionSpec(), PartitionSpec()),
+        check_vma=False)
+    if not jit:
+        return fn              # traceable; scanned by multi_step_rnn
+    return jax.jit(fn, donate_argnums=(0, 1, 2, 3))
 
 
 def multi_step_rnn(step_fn, k: int):

@@ -19,6 +19,23 @@ from .core import grid_gen, obs as obs_mod, step as step_mod
 from .core.state import EnvParams
 
 
+def obs_groups(params: EnvParams):
+    """Group agents by their per-agent obs config: ``[(idxs, gp), …]``
+    where ``idxs`` are the agent indices sharing homogeneous params ``gp``
+    (one compiled obs program per group — SURVEY §2.1
+    ``GridAgentInterface``). Used by VectorEnv, the host wrapper, and the
+    hetero PPO learner (parallel/ppo_hetero.py)."""
+    groups = {}
+    order = []
+    for i in range(params.n_agents):
+        gp = params.agent_obs_params(i)
+        if gp not in groups:
+            groups[gp] = []
+            order.append(gp)
+        groups[gp].append(i)
+    return [(tuple(groups[gp]), gp) for gp in order]
+
+
 class VectorEnv:
     """Functional batched env: state in, state out; everything jitted.
 
@@ -45,17 +62,8 @@ class VectorEnv:
         # group's program renders all N agents under the group's config and
         # keeps the group columns (agents must still see every OTHER agent
         # in their views, so the per-group compute is full-N by design).
-        self.obs_groups = None
-        if params.has_hetero_obs:
-            groups = {}
-            order = []
-            for i in range(params.n_agents):
-                gp = params.agent_obs_params(i)
-                if gp not in groups:
-                    groups[gp] = []
-                    order.append(gp)
-                groups[gp].append(i)
-            self.obs_groups = [(tuple(groups[gp]), gp) for gp in order]
+        self.obs_groups = obs_groups(params) if params.has_hetero_obs \
+            else None
 
         def _luts(p):
             if p.observation_style == "encode":

@@ -49,6 +49,34 @@ def test_evaluate_rich_cnn_s2d(tmp_path, capsys):
     assert stats["episodes"] == 1 and stats["mean_length"] > 0
 
 
+def test_evaluate_self_describing_no_args(tmp_path, capsys):
+    """Round-4 checkpoints carry config.json: evaluate needs ONLY the
+    checkpoint path — env + policy reconstruct themselves."""
+    ck = _train(tmp_path)
+    evaluate.main(["--checkpoint", ck, "--episodes", "1"])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["episodes"] == 1 and stats["mean_length"] > 0
+
+
+def test_evaluate_config_mismatch_errors(tmp_path):
+    """An explicit flag contradicting config.json dies loudly instead of
+    restoring a shape-coincident wrong template."""
+    ck = _train(tmp_path)
+    with pytest.raises(SystemExit, match="contradict"):
+        evaluate.main(["--checkpoint", ck, "--agents", "5"])
+    with pytest.raises(SystemExit, match="contradict"):
+        evaluate.main(["--checkpoint", ck, "--rnn", "gru"])
+
+
+def test_evaluate_max_steps_override(tmp_path, capsys):
+    """--max-steps is the sanctioned eval-time override (no shapes)."""
+    ck = _train(tmp_path)
+    evaluate.main(["--checkpoint", ck, "--episodes", "1",
+                   "--max-steps", "5"])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["mean_length"] <= 5
+
+
 def test_evaluate_sampled_runs(tmp_path, capsys):
     ck = _train(tmp_path)
     evaluate.main(ENV_ARGS + ["--checkpoint", ck, "--envs", "8",

@@ -28,6 +28,9 @@ ENCODE_FLOOR = float(os.environ.get("MARLGRID_GATE_ENCODE", 12.8e6))
 IMAGE_FLOOR = float(os.environ.get("MARLGRID_GATE_IMAGE", 3.5e6))
 PPO_FLOOR = float(os.environ.get("MARLGRID_GATE_PPO", 2.7e6))
 CNN_FLOOR = float(os.environ.get("MARLGRID_GATE_CNN", 0.22e6))
+# the DEFAULT pixels config (2 epochs) — the best-case epochs=1 floor above
+# would pass a regression confined to the multi-epoch path (VERDICT r3)
+CNN2_FLOOR = float(os.environ.get("MARLGRID_GATE_CNN2", 0.15e6))
 RNN_FLOOR = float(os.environ.get("MARLGRID_GATE_RNN", 1.6e6))
 
 
@@ -103,3 +106,22 @@ def test_cnn_ppo_throughput_floor():
             if ln.startswith("{")]
     v = rows[-1]["env_steps_per_s"]
     assert v >= CNN_FLOOR, f"cnn ppo {v:,.0f} < floor {CNN_FLOOR:,.0f}"
+
+
+def test_cnn_ppo_default_epochs_throughput_floor():
+    """Image-obs PPO at the DEFAULT 2-epoch config (the documented path)."""
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    out = subprocess.run(
+        [sys.executable, "-m", "marlgrid_tpu.parallel.train",
+         "--obs", "image", "--scenario", "cluttered", "--grid-size", "15",
+         "--agents", "3", "--envs", "1024", "--rollout", "32",
+         "--iters", "16", "--steps-per-call", "4",
+         "--log-every", "2"],
+        capture_output=True, text=True, timeout=3000, env=env, cwd=REPO)
+    assert out.returncode == 0, out.stdout + out.stderr
+    rows = [json.loads(ln) for ln in out.stdout.splitlines()
+            if ln.startswith("{")]
+    v = rows[-1]["env_steps_per_s"]
+    assert v >= CNN2_FLOOR, \
+        f"cnn ppo (2 epochs) {v:,.0f} < floor {CNN2_FLOOR:,.0f}"

@@ -66,6 +66,48 @@ def test_ratio_dev_alignment(cell):
     assert ms[0]["ratio_dev"] < 1e-4, ms[0]["ratio_dev"]
 
 
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
+def test_bptt_window_alignment(cell):
+    """Truncated BPTT: every window re-runs from ITS stored entry carry —
+    at unchanged params the recomputed log-probs equal the stored rollout
+    log-probs in EVERY window (forward states are exact; only gradients
+    truncate at window boundaries)."""
+    for L in (4, 2):
+        cfg = _cfg(rnn=cell, lr=0.0, dtype=jnp.float32, bptt_window=L)
+        _, _, ms = _run_steps(cfg, n_steps=1, seed=3)
+        assert ms[0]["ratio_dev"] < 1e-4, (L, ms[0]["ratio_dev"])
+
+
+def test_bptt_window_full_equals_default():
+    """bptt_window == rollout_len must be bit-identical to the default
+    full-sequence update (the W=1 window transforms reduce to the round-3
+    blocking)."""
+    key = jax.random.PRNGKey(5)
+    outs = []
+    for bw in (0, 8):
+        cfg = _cfg(dtype=jnp.float32, bptt_window=bw)
+        net, params, tx, opt_state, h = ppo_rnn.init_state_rnn(EP, cfg, key)
+        env_state = ppo_rnn.init_env_batch(EP, cfg.n_envs,
+                                           jax.random.fold_in(key, 1))
+        step = ppo_rnn.make_train_step_rnn(EP, cfg, net, tx)
+        params, opt_state, env_state, h, k, m = step(
+            params, opt_state, env_state, h, key)
+        outs.append((params, h, {kk: float(v) for kk, v in m.items()}))
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), outs[0][0], outs[1][0])
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), outs[0][1], outs[1][1])
+    assert outs[0][2]["loss"] == outs[1][2]["loss"]
+
+
+def test_bptt_window_trains_finite():
+    """A windowed (L < T) step trains: finite loss, params move."""
+    cfg = _cfg(bptt_window=4)
+    params, h, ms = _run_steps(cfg, n_steps=2)
+    for m in ms:
+        assert np.isfinite(m["loss"]) and m["entropy"] > 0
+
+
 def test_carry_changes_output():
     """The cell actually carries memory: same obs, different carry ->
     different logits (a feedforward regression would pass everything
