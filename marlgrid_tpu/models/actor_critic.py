@@ -121,6 +121,38 @@ class OneHotEmbed(nn.Module):
         return out + b.astype(self.dtype)
 
 
+def _conv_torso(mdl: nn.Module, obs, cfg, torso: str):
+    """The pixels torso stacks, shared by the feedforward and recurrent
+    families (called inside the owning module's compact context, so params
+    register under the caller).
+
+    - 'cnn_s2d': space-to-depth POV (side/4, side/4, 48) uint8 — the sprite
+      kernel emits this layout for FREE (an RHS column relabeling,
+      ops/sprite.py), and the conv stack on 48 input channels runs ~20%
+      faster fwd+bwd than the 8x8-stride-4 first conv on 3 channels
+      (measured scripts/cnn_bench2.py). Same receptive-field family as the
+      Nature CNN's first layer.
+    - 'cnn_image': standard-layout (side, side, 3) uint8 Nature-CNN-style
+      strided convs; bf16 throughout so the convs run on the MXU.
+
+    Both fold the 1/255 normalization THROUGH the first (linear) conv onto
+    its small output instead of the full-res input — conv(x/255, W) + b ==
+    conv(x, W)/255 + b — saving a full-image elementwise pass.
+    """
+    x = obs.astype(cfg.dtype)
+    if torso == "cnn_s2d":
+        x = nn.Conv(32, (2, 2), use_bias=False, dtype=cfg.dtype,
+                    name="conv1")(x)
+    else:
+        x = nn.Conv(32, (8, 8), strides=(4, 4), use_bias=False,
+                    dtype=cfg.dtype, name="conv1")(x)
+    b1 = mdl.param("conv1_bias", nn.initializers.zeros, (32,))
+    x = nn.relu(x / jnp.asarray(255.0, cfg.dtype) + b1.astype(cfg.dtype))
+    x = nn.relu(nn.Conv(64, (4, 4), strides=(2, 2), dtype=cfg.dtype)(x))
+    x = nn.relu(nn.Conv(64, (3, 3), dtype=cfg.dtype)(x))
+    return x.reshape(*x.shape[:-3], -1)
+
+
 class ActorCritic(nn.Module):
     """Torso on symbolic 'encode' observations + policy/value heads.
 
@@ -152,44 +184,8 @@ class ActorCritic(nn.Module):
                 x = nn.Conv(ch, (3, 3), dtype=cfg.dtype)(x)
                 x = nn.relu(x)
             x = x.reshape(*x.shape[:-3], -1)
-        elif torso == "cnn_s2d":
-            # space-to-depth POV images (side/4, side/4, 48) uint8 — the
-            # sprite kernel emits this layout for FREE (an RHS column
-            # relabeling, ops/sprite.py), and the conv stack on 48 input
-            # channels runs ~20% faster fwd+bwd than the 8x8-stride-4
-            # first conv on 3 channels (measured scripts/cnn_bench2.py:
-            # fwd 11.8 vs 15.8 ms, fwd+bwd 63.8 vs 80.1 ms at S=49k).
-            # Same receptive-field family as the Nature CNN's first layer.
-            x = obs.astype(cfg.dtype)
-            x = nn.Conv(32, (2, 2), use_bias=False, dtype=cfg.dtype,
-                        name="conv1")(x)
-            b1 = self.param("conv1_bias", nn.initializers.zeros, (32,))
-            x = nn.relu(x / jnp.asarray(255.0, cfg.dtype)
-                        + b1.astype(cfg.dtype))
-            x = nn.relu(nn.Conv(64, (4, 4), strides=(2, 2),
-                                dtype=cfg.dtype)(x))
-            x = nn.relu(nn.Conv(64, (3, 3), dtype=cfg.dtype)(x))
-            x = x.reshape(*x.shape[:-3], -1)
-        elif torso == "cnn_image":
-            # rendered uint8 POV images (vs*T, vs*T, 3): Nature-CNN-style
-            # strided convs; bf16 throughout so the convs run on the MXU.
-            # The 1/255 normalization is folded THROUGH the first (linear)
-            # conv onto its 14x14x32 output instead of the 56x56x3 input —
-            # conv(x/255, W) + b == conv(x, W)/255 + b — saving a
-            # full-image elementwise pass (~5 GB/iter at B=1024 CNN PPO).
-            # (An explicit space-to-depth for the stride-4 first conv was
-            # measured SLOWER — XLA:TPU already rewrites strided convs
-            # internally; the extra relayout only added traffic.)
-            x = obs.astype(cfg.dtype)
-            x = nn.Conv(32, (8, 8), strides=(4, 4), use_bias=False,
-                        dtype=cfg.dtype, name="conv1")(x)
-            b1 = self.param("conv1_bias", nn.initializers.zeros, (32,))
-            x = nn.relu(x / jnp.asarray(255.0, cfg.dtype)
-                        + b1.astype(cfg.dtype))
-            x = nn.relu(nn.Conv(64, (4, 4), strides=(2, 2),
-                                dtype=cfg.dtype)(x))
-            x = nn.relu(nn.Conv(64, (3, 3), dtype=cfg.dtype)(x))
-            x = x.reshape(*x.shape[:-3], -1)
+        elif torso in ("cnn_s2d", "cnn_image"):
+            x = _conv_torso(self, obs, cfg, torso)
         else:
             x = nn.relu(OneHotEmbed(cfg.hidden, cfg.dtype,
                                     name="torso0")(obs, channel_first,
@@ -236,27 +232,83 @@ class RecurrentActorCritic(nn.Module):
 
     cfg: "object"  # PPOConfig-like: hidden/dtype/rnn ('gru' | 'lstm')
 
-    @nn.compact
-    def __call__(self, obs, carry, channel_first: bool = False,
-                 feature_major: bool = False):
-        # obs: any OneHotEmbed layout; carry: (..., S, hidden) leaves
-        # ((lead..., S) matching the embed's sample dims)
+    def setup(self):
+        # setup-style (attribute names become param-tree names, matching
+        # the previous compact layout: torso0/cell/torso/pi/v and the
+        # conv stack's conv1/Conv_0/Conv_1)
         cfg = self.cfg
-        x = nn.relu(OneHotEmbed(cfg.hidden, cfg.dtype, name="torso0")(
-            obs, channel_first, feature_major))
+        torso = getattr(cfg, "torso", "mlp")
+        if torso == "mlp":
+            self.torso0 = OneHotEmbed(cfg.hidden, cfg.dtype)
+        else:
+            # pixels torsos (cnn_s2d / cnn_image): same stacks and param
+            # names as the feedforward family's _conv_torso
+            assert torso in ("cnn_s2d", "cnn_image"), torso
+            if torso == "cnn_s2d":
+                self.conv1 = nn.Conv(32, (2, 2), use_bias=False,
+                                     dtype=cfg.dtype)
+            else:
+                self.conv1 = nn.Conv(32, (8, 8), strides=(4, 4),
+                                     use_bias=False, dtype=cfg.dtype)
+            self.conv1_bias = self.param("conv1_bias",
+                                         nn.initializers.zeros, (32,))
+            self.Conv_0 = nn.Conv(64, (4, 4), strides=(2, 2),
+                                  dtype=cfg.dtype)
+            self.Conv_1 = nn.Conv(64, (3, 3), dtype=cfg.dtype)
         if cfg.rnn == "lstm":
-            cell = nn.OptimizedLSTMCell(cfg.hidden, dtype=cfg.dtype,
-                                        name="cell")
+            self.cell = nn.OptimizedLSTMCell(cfg.hidden, dtype=cfg.dtype)
         else:
             assert cfg.rnn == "gru", cfg.rnn
-            cell = nn.GRUCell(cfg.hidden, dtype=cfg.dtype, name="cell")
-        carry, y = cell(carry, x)
-        x = nn.relu(nn.Dense(cfg.hidden, dtype=cfg.dtype, name="torso")(y))
-        logits = nn.Dense(C.N_ACTIONS, dtype=cfg.dtype, name="pi")(
-            x).astype(jnp.float32)
-        value = nn.Dense(1, dtype=cfg.dtype, name="v")(
-            x).astype(jnp.float32)
-        return logits, value[..., 0], carry
+            self.cell = nn.GRUCell(cfg.hidden, dtype=cfg.dtype)
+        self.torso = nn.Dense(cfg.hidden, dtype=cfg.dtype)
+        self.pi = nn.Dense(C.N_ACTIONS, dtype=cfg.dtype)
+        self.v = nn.Dense(1, dtype=cfg.dtype)
+
+    def features(self, obs, channel_first: bool = False,
+                 feature_major: bool = False):
+        """Per-step STATELESS torso: any OneHotEmbed layout (mlp) or
+        row-major uint8 POV batches (cnn_s2d / cnn_image). Exposed as a
+        separate method so the PPO update can run it (and ``heads``) over
+        ALL timesteps in ONE batch, leaving only ``cell_step`` inside the
+        sequential scan — the torso/head GEMMs then see T(/L)-fold larger
+        M dims (ppo_rnn.py loss_fn)."""
+        cfg = self.cfg
+        torso = getattr(cfg, "torso", "mlp")
+        if torso == "mlp":
+            return nn.relu(self.torso0(obs, channel_first, feature_major))
+        assert not (channel_first or feature_major), \
+            "image torsos consume row-major POV batches"
+        x = obs.astype(cfg.dtype)
+        x = self.conv1(x)
+        x = nn.relu(x / jnp.asarray(255.0, cfg.dtype)
+                    + self.conv1_bias.astype(cfg.dtype))
+        x = nn.relu(self.Conv_0(x))
+        x = nn.relu(self.Conv_1(x))
+        return x.reshape(*x.shape[:-3], -1)
+
+    def cell_step(self, x, carry):
+        """One recurrent step: (features_t, carry) -> (carry', y_t)."""
+        carry, y = self.cell(carry, x)
+        return carry, y
+
+    def heads(self, y):
+        """Cell outputs -> (logits f32, value f32) — stateless, batchable
+        over all timesteps at once."""
+        x = nn.relu(self.torso(y))
+        logits = self.pi(x).astype(jnp.float32)
+        value = self.v(x).astype(jnp.float32)
+        return logits, value[..., 0]
+
+    def __call__(self, obs, carry, channel_first: bool = False,
+                 feature_major: bool = False):
+        # obs: any OneHotEmbed layout (mlp torso) or row-major uint8 POV
+        # images (cnn torsos — the rendered-obs recurrent family, SURVEY
+        # §2.1 social-learning workload); carry: (..., S, hidden) leaves
+        # ((lead..., S) matching the sample dims)
+        x = self.features(obs, channel_first, feature_major)
+        carry, y = self.cell_step(x, carry)
+        logits, value = self.heads(y)
+        return logits, value, carry
 
     def initial_carry(self, lead):
         """Zero carry for ``lead`` sample dims (e.g. (N, B))."""

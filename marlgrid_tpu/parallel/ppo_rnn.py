@@ -63,20 +63,39 @@ from .ppo import PPOConfig, _gae, init_env_batch  # noqa: F401 (re-export)
 def init_state_rnn(env_params: EnvParams, cfg: PPOConfig, key):
     """(net, params, tx, opt_state, h) for the recurrent shared policy.
 
-    ``h`` is the carry for the full (N, B) batch — part of the training
-    state from here on (train loop, checkpoints).
+    ``h`` is the carry for the full batch — part of the training state
+    from here on (train loop, checkpoints). Encode obs use the
+    feature-major mlp path with carry leaves (N, B, H); image obs use the
+    cnn torsos with row-major POV batches and carry leaves (B, N, H)
+    (matching each path's sample-dim order).
     """
     assert cfg.rnn in ("gru", "lstm"), cfg.rnn
-    assert env_params.observation_style == "encode" and cfg.torso == "mlp", \
-        "recurrent PPO supports the encode/mlp feature-major path"
+    style = env_params.observation_style
     net = RecurrentActorCritic(cfg)
-    F = 3 * env_params.view_size ** 2
-    obs0 = jnp.zeros((1, F, 1), jnp.int32)
-    params = net.init(key, obs0, net.initial_carry((1, 1)),
-                      feature_major=True)
     tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
                      optax.adam(cfg.lr))
-    h = net.initial_carry((env_params.n_agents, cfg.n_envs))
+    if style == "encode":
+        assert cfg.torso == "mlp", \
+            "encode recurrent PPO uses the mlp feature-major path"
+        F = 3 * env_params.view_size ** 2
+        obs0 = jnp.zeros((1, F, 1), jnp.int32)
+        params = net.init(key, obs0, net.initial_carry((1, 1)),
+                          feature_major=True)
+        h = net.initial_carry((env_params.n_agents, cfg.n_envs))
+    elif style == "image":
+        # the social-learning flagship: recurrent agents on RENDERED obs
+        # (SURVEY §2.1 docs row; VERDICT r3 missing #5)
+        assert cfg.torso in ("cnn_s2d", "cnn_image"), \
+            "image recurrent PPO uses a cnn_s2d/cnn_image torso"
+        side = env_params.view_size * env_params.view_tile_size
+        shape = (side // 4, side // 4, 48) if cfg.torso == "cnn_s2d" \
+            else (side, side, 3)
+        obs0 = jnp.zeros((1, 1) + shape, jnp.uint8)
+        params = net.init(key, obs0, net.initial_carry((1, 1)))
+        h = net.initial_carry((cfg.n_envs, env_params.n_agents))
+    else:
+        raise SystemExit("recurrent PPO supports 'encode' or 'image' "
+                         "observations (rich pov+aux is feedforward)")
     return net, params, tx, tx.init(params), h
 
 
@@ -96,6 +115,11 @@ def make_train_step_rnn(env_params: EnvParams, cfg: PPOConfig, net,
     env-sharded like the env batch and never crosses shards).
     """
     assert cfg.rnn in ("gru", "lstm"), cfg.rnn
+    if env_params.observation_style == "image":
+        assert axis is None and n_shards == 1, \
+            "image recurrent PPO is the GSPMD path (no shard_map variant)"
+        return _make_train_step_rnn_image(env_params, cfg, net, tx,
+                                          mesh=mesh, jit=jit)
     assert env_params.observation_style == "encode" and cfg.torso == "mlp"
     B, T, N = cfg.n_envs // n_shards, cfg.rollout_len, env_params.n_agents
     F = 3 * env_params.view_size ** 2
@@ -235,17 +259,22 @@ def make_train_step_rnn(env_params: EnvParams, cfg: PPOConfig, net,
         )
 
     def loss_fn(params, batch):
-        obs_T = batch["obs"].transpose(1, 0, 2, 3, 4)   # (T, mb, N, F, c)
-        done_T = batch["done"].transpose(1, 0, 2)       # (T, mb, c)
+        obs_T = batch["obs"].transpose(1, 0, 2, 3, 4)   # (L, mb, N, F, c)
+        done_T = batch["done"].transpose(1, 0, 2)       # (L, mb, c)
+        # the torso embed and the heads are per-step STATELESS — run them
+        # over ALL L timesteps in ONE batch (L-fold larger GEMMs) and scan
+        # ONLY the cell. Identical math to the per-step full apply (the
+        # rollout path), so the ratio_dev alignment invariant still holds.
+        feats = net.apply(params, obs_T, feature_major=True,
+                          method="features")            # (L, mb, N, c, H)
 
         def body(h, xs):
-            obs_t, done_t = xs
-            logits, value, h = net.apply(params, obs_t, h,
-                                         feature_major=True)
-            return mask_carry(h, done_t), (logits, value)
+            x_t, done_t = xs
+            h, y = net.apply(params, x_t, h, method="cell_step")
+            return mask_carry(h, done_t), y
 
-        _, (logits, value) = jax.lax.scan(body, batch["h0"],
-                                          (obs_T, done_T))
+        _, ys = jax.lax.scan(body, batch["h0"], (feats, done_T))
+        logits, value = net.apply(params, ys, method="heads")
         # logits (T, mb, N, c, A); labels arrive (mb, T, N, c)
         lab = {k: batch[k].transpose(1, 0, 2, 3)
                for k in ("act", "logp", "val", "adv", "ret")}
@@ -378,6 +407,238 @@ def make_train_step_rnn_shard_map(env_params: EnvParams, cfg: PPOConfig,
     if not jit:
         return fn              # traceable; scanned by multi_step_rnn
     return jax.jit(fn, donate_argnums=(0, 1, 2, 3))
+
+
+def _make_train_step_rnn_image(env_params: EnvParams, cfg: PPOConfig, net,
+                               tx, mesh=None, jit=True):
+    """Recurrent PPO on RENDERED observations — the reference's flagship
+    social-learning workload (ICML 2021: recurrent agents on pixel POVs,
+    SURVEY §2.1 docs row). Composes three existing mechanisms:
+
+    - the sprite-kernel image pipeline (obs rendered (B, N, side, side, 3)
+      uint8, or the free space-to-depth layout for cnn_s2d);
+    - EnvState-store rematerialization (ppo.py recompute path): the
+      trajectory stores ~600 B/env states, and each minibatch re-renders
+      its windows' observations inside the update;
+    - the truncated-BPTT windowed update: conv features and heads run over
+      ALL window timesteps in ONE batch (the convs are per-step
+      stateless), only the cell scans sequentially.
+
+    Carry leaves are (B, N, H) (row-major sample order, matching the
+    rendered obs). GSPMD 'data' sharding only.
+    """
+    B, T, N = cfg.n_envs, cfg.rollout_len, env_params.n_agents
+    L = cfg.bptt_window or T
+    assert T % L == 0, f"bptt_window {L} must divide rollout_len {T}"
+    W = T // L
+    s2d = cfg.torso == "cnn_s2d"
+    from .. import rendering
+
+    luts = (jnp.asarray(rendering.base_lut(env_params.view_tile_size)),
+            jnp.asarray(rendering.agent_lut(env_params.view_tile_size)))
+
+    def obs_of(state):
+        return obs_mod.all_agent_obs_b(env_params, state, *luts, s2d=s2d)
+
+    def constrain(tree, spec=P("data")):
+        if mesh is None:
+            return tree
+        return jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(
+                x, jax.sharding.NamedSharding(mesh, spec)), tree)
+
+    def mask_carry(h, done):
+        """Carry leaves (B, N, H); done (B,) shared per env."""
+        keep = (~done).astype(cfg.dtype)
+        return jax.tree.map(lambda x: x * keep[:, None, None], h)
+
+    K = max(k for k in range(1, min(cfg.board_pool, B) + 1) if B % k == 0)
+
+    def rollout(params, env_state, h, key):
+        obs0 = obs_of(env_state)
+        key, fk = jax.random.split(key)
+        fresh_b = constrain(step_mod.fresh_pool_tiled(env_params, fk, K, B))
+
+        def body(carry, t):
+            env_state, obs, h, key = carry
+            fresh_t = step_mod.rotate_fresh_batch(fresh_b, t)
+            key, ak = jax.random.split(key)
+            logits, value, h = net.apply(params, obs, h)  # (B, N, A/—)
+            a = jax.random.categorical(ak, logits)        # (B, N)
+            logp = jax.nn.log_softmax(logits)
+            logp_a = (logp * (a[..., None] == jnp.arange(logp.shape[-1]))
+                      ).sum(-1)
+            prev_state = env_state       # pre-step state pairs with obs
+            env_state, rew, done, info = \
+                step_mod.step_autoreset_with_fresh_batch(
+                    env_params, env_state, a, fresh_t, salt=t)
+            env_state = constrain(env_state)
+            h = constrain(mask_carry(h, done))
+            tr = dict(obs=prev_state, act=a, logp=logp_a, val=value,
+                      rew=rew, done=done, ep_ret=info["episode_return"],
+                      ep_len=info["episode_length"],
+                      ep_cyc=info["episode_cycles"])
+            return (env_state, obs_of(env_state), h, key), tr
+
+        def window(carry, wi):
+            h_start = carry[2]
+            carry, tr = jax.lax.scan(body, carry, wi * L + jnp.arange(L))
+            return carry, (tr, h_start)
+
+        (env_state, last_obs, h, key), (traj, h0s) = jax.lax.scan(
+            window, (env_state, obs0, h, key), jnp.arange(W))
+        traj = jax.tree.map(lambda x: x.reshape((T,) + x.shape[2:]), traj)
+        _, last_value, _ = net.apply(params, last_obs, h)
+        return env_state, h, key, traj, h0s, last_value
+
+    # (window x env-chunk) sequence blocks over the EnvState store
+    c = B
+    while c % 2 == 0 and c // 2 >= 16 and W * (B // c) * 2 <= 8192:
+        c //= 2
+    while W * (B // c) < cfg.n_minibatches and c % 2 == 0:
+        c //= 2
+    Gc = B // c
+    G = W * Gc
+    assert G >= cfg.n_minibatches, (G, cfg.n_minibatches)
+    used = (G // cfg.n_minibatches) * cfg.n_minibatches
+    if used < G:
+        import warnings
+
+        warnings.warn(
+            f"recurrent image PPO minibatching: dropping {G - used} of "
+            f"{G} sequence blocks per epoch (n_minibatches does not "
+            f"divide G)", stacklevel=2)
+
+    def blocked_traj(traj, h0s, adv, ret, val):
+        def env_minor(x):                   # (T, B, N) -> (G, L, c, N)
+            return x.reshape(W, L, Gc, c, N).transpose(0, 2, 1, 3, 4) \
+                .reshape(G, L, c, N)
+
+        def state_blk(x):                   # (T, B, …) -> (G, L, c, …)
+            r = x.reshape((W, L, Gc, c) + x.shape[2:])
+            perm = (0, 2, 1, 3) + tuple(range(4, r.ndim))
+            return r.transpose(perm).reshape((G, L, c) + x.shape[2:])
+
+        return dict(
+            obs=jax.tree.map(state_blk, traj["obs"]),
+            act=env_minor(traj["act"]),
+            logp=env_minor(traj["logp"]),
+            val=env_minor(val),
+            adv=env_minor(adv),
+            ret=env_minor(ret),
+            done=traj["done"].reshape(W, L, Gc, c).transpose(0, 2, 1, 3)
+                .reshape(G, L, c),
+            # h0s leaves (W, B, N, H): W,Gc adjacent -> row-major split
+            h0=jax.tree.map(
+                lambda x: x.reshape((G, c) + x.shape[2:]), h0s),
+        )
+
+    def loss_fn(params, batch):
+        mb = batch["done"].shape[0]
+        # flatten stored states in (L, mb, c) order so the rendered batch
+        # reshapes straight into scan-step slices (no post-render relayout)
+        st = jax.tree.map(
+            lambda x: jnp.moveaxis(x, 1, 0).reshape((-1,) + x.shape[3:]),
+            batch["obs"])
+        obs = obs_mod.all_agent_obs_b(env_params, st, *luts, bminor=True,
+                                      s2d=s2d)          # (N, S, hw…)
+        S = obs.shape[1]                                # S = L*mb*c
+        feats = net.apply(params, obs.reshape((N * S,) + obs.shape[2:]),
+                          method="features")
+        feats = feats.reshape((N, L, mb, c, -1)).transpose(1, 2, 3, 0, 4)
+        done_T = batch["done"].transpose(1, 0, 2)       # (L, mb, c)
+
+        def body(h, xs):
+            x_t, done_t = xs                 # (mb, c, N, F'), (mb, c)
+            h, y = net.apply(params, x_t, h, method="cell_step")
+            keep = (~done_t).astype(cfg.dtype)
+            h = jax.tree.map(lambda x: x * keep[..., None, None], h)
+            return h, y
+
+        _, ys = jax.lax.scan(body, batch["h0"], (feats, done_T))
+        logits, value = net.apply(params, ys, method="heads")
+        # logits (L, mb, c, N, A); labels arrive (mb, L, c, N)
+        lab = {k: batch[k].transpose(1, 0, 2, 3)
+               for k in ("act", "logp", "val", "adv", "ret")}
+        logp = jax.nn.log_softmax(logits)
+        logp_a = (logp * (lab["act"][..., None]
+                          == jnp.arange(logp.shape[-1]))).sum(-1)
+        ratio = jnp.exp(logp_a - lab["logp"])
+        adv = lab["adv"]
+        adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+        pg = -jnp.minimum(
+            ratio * adv,
+            jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv).mean()
+        v_clipped = lab["val"] + jnp.clip(value - lab["val"],
+                                          -cfg.clip_eps, cfg.clip_eps)
+        vf = 0.5 * jnp.maximum((value - lab["ret"]) ** 2,
+                               (v_clipped - lab["ret"]) ** 2).mean()
+        ent = -(jax.nn.softmax(logits) * logp).sum(-1).mean()
+        total = pg + cfg.vf_coef * vf - cfg.ent_coef * ent
+        ratio_dev = jnp.abs(ratio - 1.0).mean()
+        return total, dict(pg_loss=pg, vf_loss=vf, entropy=ent,
+                           ratio_dev=ratio_dev)
+
+    def update(params, opt_state, traj, h0s, last_value, key):
+        rew = traj["rew"].reshape(T, B * N)
+        val = traj["val"].reshape(T, B * N)
+        done = jnp.repeat(traj["done"][..., None], N, -1).reshape(T, B * N)
+        adv, ret = _gae(rew, val, done, last_value.reshape(-1),
+                        cfg.gamma, cfg.gae_lambda)
+        blocked = blocked_traj(traj, h0s, adv.reshape(T, B, N),
+                               ret.reshape(T, B, N), traj["val"])
+
+        def epoch(carry, _):
+            params, opt_state, key = carry
+            key, pk = jax.random.split(key)
+            perm = jax.random.permutation(pk, G)
+
+            def minibatch(carry, idx):
+                params, opt_state = carry
+                batch = jax.tree.map(lambda x: x[idx], blocked)
+                (l, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, batch)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), (l, aux)
+
+            idxs = perm[:used].reshape(cfg.n_minibatches,
+                                       used // cfg.n_minibatches)
+            (params, opt_state), (ls, auxs) = jax.lax.scan(
+                minibatch, (params, opt_state), idxs)
+            return (params, opt_state, key), (ls, auxs)
+
+        (params, opt_state, key), (ls, auxs) = jax.lax.scan(
+            epoch, (params, opt_state, key), None, length=cfg.n_epochs)
+        metrics = {k: v.mean() for k, v in auxs.items()}
+        metrics["loss"] = ls.mean()
+        return params, opt_state, metrics
+
+    def ep_metrics(metrics, traj):
+        n_eps = traj["done"].astype(jnp.float32).sum()
+        metrics["episode_return"] = jnp.where(
+            n_eps > 0, traj["ep_ret"].sum() / jnp.maximum(n_eps, 1), 0.0)
+        metrics["episode_length"] = jnp.where(
+            n_eps > 0, traj["ep_len"].astype(jnp.float32).sum()
+            / jnp.maximum(n_eps, 1), 0.0)
+        metrics["episode_cycles"] = jnp.where(
+            n_eps > 0, traj["ep_cyc"].astype(jnp.float32).sum()
+            / jnp.maximum(n_eps, 1), 0.0)
+        metrics["n_episodes"] = n_eps
+        return metrics
+
+    def train_step(params, opt_state, env_state, h, key):
+        env_state, h, key, traj, h0s, last_value = rollout(
+            params, env_state, h, key)
+        params, opt_state, metrics = update(params, opt_state, traj, h0s,
+                                            last_value, key)
+        metrics = ep_metrics(metrics, traj)
+        key = jax.random.fold_in(key, 1)
+        return params, opt_state, env_state, h, key, metrics
+
+    if not jit:
+        return train_step       # raw fn; scanned by multi_step_rnn
+    return jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
 
 
 def multi_step_rnn(step_fn, k: int):

@@ -212,6 +212,9 @@ def main(argv=None):
         if args.overlap:
             raise SystemExit("--rnn does not compose with --overlap "
                              "(the double-buffered variant is feedforward)")
+        if args.shard_map and args.obs != "encode":
+            raise SystemExit("--rnn --shard-map is the encode path; image "
+                             "recurrent runs use the default GSPMD mesh")
         net, params, tx, opt_state, h = ppo_rnn.init_state_rnn(ep, cfg, key)
     else:
         net, params, tx, opt_state = ppo.init_state(ep, cfg, key)
@@ -232,11 +235,13 @@ def main(argv=None):
                                    stagger=not args.no_stagger)
     key = jax.random.fold_in(key, 2)
     if h is not None:
-        # carry shards like the env batch (leaves are (N, B, H))
+        # carry shards like the env batch: encode-path leaves are
+        # (N, B, H) (env dim 1), image-path leaves (B, N, H) (env leading)
         from jax.sharding import PartitionSpec as _P
 
+        hspec = _P("data") if args.obs == "image" else _P(None, "data")
         h = jax.tree.map(lambda x: jax.device_put(
-            x, NamedSharding(mesh, _P(None, "data"))), h)
+            x, NamedSharding(mesh, hspec)), h)
     if args.resume:
         tmpl = dict(params=params, opt_state=opt_state,
                     env_state=env_state, key=key)
