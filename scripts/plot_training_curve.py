@@ -32,6 +32,12 @@ def main():
                     help="env-steps per logged iteration (n_envs * rollout)")
     ap.add_argument("--out", default="artifacts/training_curve.png")
     ap.add_argument("--title", default="Goal-cycle PPO learning curve")
+    ap.add_argument("--panel2", default="cycles",
+                    choices=["cycles", "length"],
+                    help="second panel: bonus-cycle completions "
+                         "(goal_cycle) or episode length (scenarios "
+                         "without cycles — falling length = agents reach "
+                         "the goal faster)")
     args = ap.parse_args()
 
     rows = [json.loads(ln) for ln in open(args.jsonl) if ln.strip()]
@@ -50,13 +56,18 @@ def main():
         return out
 
     ret = smooth([r["episode_return"] for r in rows])
-    cyc = smooth([r.get("episode_cycles", 0.0) for r in rows])
+    if args.panel2 == "length":
+        p2 = smooth([r.get("episode_length", 0.0) for r in rows])
+        p2_label = "Episode length (steps; lower = faster to goal)"
+    else:
+        p2 = smooth([r.get("episode_cycles", 0.0) for r in rows])
+        p2_label = "Bonus-cycle completions per episode"
 
     fig, axes = plt.subplots(2, 1, figsize=(7.2, 5.4), sharex=True,
                              constrained_layout=True)
     for ax, ys, color, label in (
             (axes[0], ret, BLUE, "Episode return (per env, mean)"),
-            (axes[1], cyc, ORANGE, "Bonus-cycle completions per episode")):
+            (axes[1], p2, ORANGE, p2_label)):
         ax.plot(xs, ys, color=color, linewidth=2)
         ax.set_title(label, loc="left", fontsize=11, color=INK)
         ax.grid(True, color=GRID, linewidth=0.8)
