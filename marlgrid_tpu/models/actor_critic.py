@@ -265,16 +265,19 @@ class RecurrentActorCritic(nn.Module):
         self.v = nn.Dense(1, dtype=cfg.dtype)
 
     def features(self, obs, channel_first: bool = False,
-                 feature_major: bool = False):
+                 feature_major: bool = False, aux=None):
         """Per-step STATELESS torso: any OneHotEmbed layout (mlp) or
         row-major uint8 POV batches (cnn_s2d / cnn_image). Exposed as a
         separate method so the PPO update can run it (and ``heads``) over
         ALL timesteps in ONE batch, leaving only ``cell_step`` inside the
         sequential scan — the torso/head GEMMs then see T(/L)-fold larger
-        M dims (ppo_rnn.py loss_fn)."""
+        M dims (ppo_rnn.py loss_fn). ``aux``: optional (..., d) f32
+        per-sample extras (the 'rich' style's observe_* fields),
+        concatenated after the torso flatten (row-major paths only)."""
         cfg = self.cfg
         torso = getattr(cfg, "torso", "mlp")
         if torso == "mlp":
+            assert aux is None, "aux features are a row-major-path feature"
             return nn.relu(self.torso0(obs, channel_first, feature_major))
         assert not (channel_first or feature_major), \
             "image torsos consume row-major POV batches"
@@ -284,7 +287,10 @@ class RecurrentActorCritic(nn.Module):
                     + self.conv1_bias.astype(cfg.dtype))
         x = nn.relu(self.Conv_0(x))
         x = nn.relu(self.Conv_1(x))
-        return x.reshape(*x.shape[:-3], -1)
+        x = x.reshape(*x.shape[:-3], -1)
+        if aux is not None:
+            x = jnp.concatenate([x, aux.astype(cfg.dtype)], axis=-1)
+        return x
 
     def cell_step(self, x, carry):
         """One recurrent step: (features_t, carry) -> (carry', y_t)."""
@@ -300,12 +306,12 @@ class RecurrentActorCritic(nn.Module):
         return logits, value[..., 0]
 
     def __call__(self, obs, carry, channel_first: bool = False,
-                 feature_major: bool = False):
+                 feature_major: bool = False, aux=None):
         # obs: any OneHotEmbed layout (mlp torso) or row-major uint8 POV
         # images (cnn torsos — the rendered-obs recurrent family, SURVEY
         # §2.1 social-learning workload); carry: (..., S, hidden) leaves
-        # ((lead..., S) matching the sample dims)
-        x = self.features(obs, channel_first, feature_major)
+        # ((lead..., S) matching the sample dims); aux: 'rich' extras
+        x = self.features(obs, channel_first, feature_major, aux=aux)
         carry, y = self.cell_step(x, carry)
         logits, value = self.heads(y)
         return logits, value, carry

@@ -196,9 +196,6 @@ def restore_policy(args, ep: EnvParams, cfg: ppo.PPOConfig):
 def main(argv=None):
     args = parse_args(argv)
     ep, cfg = resolve_config(args)
-    if args.obs == "rich" and args.rnn:
-        raise SystemExit(
-            "rich-obs policies are feedforward (match training support)")
     net, params, h0 = restore_policy(args, ep, cfg)
     torso = cfg.torso
 
@@ -240,7 +237,7 @@ def main(argv=None):
         if h is None:
             logits, _ = net.apply(params, obs, aux=aux)
         else:
-            logits, _, h = net.apply(params, obs, h)
+            logits, _, h = net.apply(params, obs, h, aux=aux)
         a = (jax.random.categorical(key, logits) if args.sample
              else jnp.argmax(logits, axis=-1))
         return a, h

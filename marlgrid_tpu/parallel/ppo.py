@@ -46,6 +46,12 @@ class PPOConfig:
     # RecurrentActorCritic family and the sequence-aware update
     # (parallel/ppo_rnn.py); encode/mlp path only
     rnn: str = ""
+    # unroll factor for the update's cell-only scan. MEASURED NEGATIVE on
+    # v5e (full-T 2.01M -> 1.94M, L=16 2.08M -> 1.57M env-steps/s at
+    # unroll=8): the scan's per-step overhead (~38 us profiled) is smaller
+    # than the schedule/ILP loss from the unrolled body. Kept as a knob;
+    # default 1 = plain scan.
+    cell_unroll: int = 1
     # truncated BPTT for the recurrent update: chunk the stored T-step
     # sequences into length-L windows (0 = full T). Each window re-runs
     # from ITS stored rollout carry, so gradients truncate at window

@@ -43,9 +43,11 @@ TPU-first design decisions:
   boundaries (it is part of the training state, checkpointed alongside
   env_state).
 
-Scope: 'encode' observations with the mlp torso (the fast feature-major
-path). Image-obs recurrence would compose the same scan with the
-rematerialized render; not built until a workload needs it.
+Scope: 'encode' observations ride the fast feature-major mlp path (with a
+shard_map explicit-collective variant); 'image' and 'rich' observations
+ride the cnn torsos with EnvState-store rematerialization
+(``_make_train_step_rnn_image`` — the rendered-obs recurrent family the
+reference's flagship workload trains).
 """
 from __future__ import annotations
 
@@ -57,7 +59,8 @@ from jax.sharding import PartitionSpec as P
 from ..core import obs as obs_mod, step as step_mod
 from ..core.state import EnvParams
 from ..models import RecurrentActorCritic
-from .ppo import PPOConfig, _gae, init_env_batch  # noqa: F401 (re-export)
+from .ppo import (PPOConfig, _gae, aux_dim, init_env_batch,  # noqa: F401
+                  rich_aux)
 
 
 def init_state_rnn(env_params: EnvParams, cfg: PPOConfig, key):
@@ -82,20 +85,24 @@ def init_state_rnn(env_params: EnvParams, cfg: PPOConfig, key):
         params = net.init(key, obs0, net.initial_carry((1, 1)),
                           feature_major=True)
         h = net.initial_carry((env_params.n_agents, cfg.n_envs))
-    elif style == "image":
+    elif style in ("image", "rich"):
         # the social-learning flagship: recurrent agents on RENDERED obs
-        # (SURVEY §2.1 docs row; VERDICT r3 missing #5)
+        # (SURVEY §2.1 docs row; VERDICT r3 missing #5). 'rich' adds the
+        # observe_* aux vector, concatenated after the conv flatten.
         assert cfg.torso in ("cnn_s2d", "cnn_image"), \
-            "image recurrent PPO uses a cnn_s2d/cnn_image torso"
+            "image/rich recurrent PPO uses a cnn_s2d/cnn_image torso"
         side = env_params.view_size * env_params.view_tile_size
         shape = (side // 4, side // 4, 48) if cfg.torso == "cnn_s2d" \
             else (side, side, 3)
         obs0 = jnp.zeros((1, 1) + shape, jnp.uint8)
-        params = net.init(key, obs0, net.initial_carry((1, 1)))
+        kw = {}
+        if style == "rich" and aux_dim(env_params):
+            kw["aux"] = jnp.zeros((1, 1, aux_dim(env_params)), jnp.float32)
+        params = net.init(key, obs0, net.initial_carry((1, 1)), **kw)
         h = net.initial_carry((cfg.n_envs, env_params.n_agents))
     else:
-        raise SystemExit("recurrent PPO supports 'encode' or 'image' "
-                         "observations (rich pov+aux is feedforward)")
+        raise SystemExit(f"recurrent PPO: unknown observation style "
+                         f"{style!r}")
     return net, params, tx, tx.init(params), h
 
 
@@ -115,9 +122,10 @@ def make_train_step_rnn(env_params: EnvParams, cfg: PPOConfig, net,
     env-sharded like the env batch and never crosses shards).
     """
     assert cfg.rnn in ("gru", "lstm"), cfg.rnn
-    if env_params.observation_style == "image":
+    if env_params.observation_style in ("image", "rich"):
         assert axis is None and n_shards == 1, \
-            "image recurrent PPO is the GSPMD path (no shard_map variant)"
+            "image/rich recurrent PPO is the GSPMD path (no shard_map " \
+            "variant)"
         return _make_train_step_rnn_image(env_params, cfg, net, tx,
                                           mesh=mesh, jit=jit)
     assert env_params.observation_style == "encode" and cfg.torso == "mlp"
@@ -273,7 +281,8 @@ def make_train_step_rnn(env_params: EnvParams, cfg: PPOConfig, net,
             h, y = net.apply(params, x_t, h, method="cell_step")
             return mask_carry(h, done_t), y
 
-        _, ys = jax.lax.scan(body, batch["h0"], (feats, done_T))
+        _, ys = jax.lax.scan(body, batch["h0"], (feats, done_T),
+                             unroll=min(getattr(cfg, "cell_unroll", 1), L))
         logits, value = net.apply(params, ys, method="heads")
         # logits (T, mb, N, c, A); labels arrive (mb, T, N, c)
         lab = {k: batch[k].transpose(1, 0, 2, 3)
@@ -411,9 +420,10 @@ def make_train_step_rnn_shard_map(env_params: EnvParams, cfg: PPOConfig,
 
 def _make_train_step_rnn_image(env_params: EnvParams, cfg: PPOConfig, net,
                                tx, mesh=None, jit=True):
-    """Recurrent PPO on RENDERED observations — the reference's flagship
-    social-learning workload (ICML 2021: recurrent agents on pixel POVs,
-    SURVEY §2.1 docs row). Composes three existing mechanisms:
+    """Recurrent PPO on RENDERED observations ('image', or 'rich' = pov +
+    observe_* aux vector) — the reference's flagship social-learning
+    workload (ICML 2021: recurrent agents on pixel POVs, SURVEY §2.1 docs
+    row). Composes three existing mechanisms:
 
     - the sprite-kernel image pipeline (obs rendered (B, N, side, side, 3)
       uint8, or the free space-to-depth layout for cnn_s2d);
@@ -432,13 +442,18 @@ def _make_train_step_rnn_image(env_params: EnvParams, cfg: PPOConfig, net,
     assert T % L == 0, f"bptt_window {L} must divide rollout_len {T}"
     W = T // L
     s2d = cfg.torso == "cnn_s2d"
+    rich = env_params.observation_style == "rich"
+    pov_params = (env_params.replace(observation_style="image") if rich
+                  else env_params)
     from .. import rendering
 
     luts = (jnp.asarray(rendering.base_lut(env_params.view_tile_size)),
             jnp.asarray(rendering.agent_lut(env_params.view_tile_size)))
 
     def obs_of(state):
-        return obs_mod.all_agent_obs_b(env_params, state, *luts, s2d=s2d)
+        """(pov, aux-or-None) — aux is the 'rich' observe_* vector."""
+        pov = obs_mod.all_agent_obs_b(pov_params, state, *luts, s2d=s2d)
+        return pov, (rich_aux(env_params, state) if rich else None)
 
     def constrain(tree, spec=P("data")):
         if mesh is None:
@@ -460,10 +475,11 @@ def _make_train_step_rnn_image(env_params: EnvParams, cfg: PPOConfig, net,
         fresh_b = constrain(step_mod.fresh_pool_tiled(env_params, fk, K, B))
 
         def body(carry, t):
-            env_state, obs, h, key = carry
+            env_state, (obs, aux), h, key = carry
             fresh_t = step_mod.rotate_fresh_batch(fresh_b, t)
             key, ak = jax.random.split(key)
-            logits, value, h = net.apply(params, obs, h)  # (B, N, A/—)
+            logits, value, h = net.apply(params, obs, h,
+                                         aux=aux)         # (B, N, A/—)
             a = jax.random.categorical(ak, logits)        # (B, N)
             logp = jax.nn.log_softmax(logits)
             logp_a = (logp * (a[..., None] == jnp.arange(logp.shape[-1]))
@@ -485,10 +501,10 @@ def _make_train_step_rnn_image(env_params: EnvParams, cfg: PPOConfig, net,
             carry, tr = jax.lax.scan(body, carry, wi * L + jnp.arange(L))
             return carry, (tr, h_start)
 
-        (env_state, last_obs, h, key), (traj, h0s) = jax.lax.scan(
-            window, (env_state, obs0, h, key), jnp.arange(W))
+        (env_state, (last_obs, last_aux), h, key), (traj, h0s) = \
+            jax.lax.scan(window, (env_state, obs0, h, key), jnp.arange(W))
         traj = jax.tree.map(lambda x: x.reshape((T,) + x.shape[2:]), traj)
-        _, last_value, _ = net.apply(params, last_obs, h)
+        _, last_value, _ = net.apply(params, last_obs, h, aux=last_aux)
         return env_state, h, key, traj, h0s, last_value
 
     # (window x env-chunk) sequence blocks over the EnvState store
@@ -540,11 +556,14 @@ def _make_train_step_rnn_image(env_params: EnvParams, cfg: PPOConfig, net,
         st = jax.tree.map(
             lambda x: jnp.moveaxis(x, 1, 0).reshape((-1,) + x.shape[3:]),
             batch["obs"])
-        obs = obs_mod.all_agent_obs_b(env_params, st, *luts, bminor=True,
+        obs = obs_mod.all_agent_obs_b(pov_params, st, *luts, bminor=True,
                                       s2d=s2d)          # (N, S, hw…)
         S = obs.shape[1]                                # S = L*mb*c
+        au = rich_aux(env_params, st) if rich else None  # (S, N, d)
+        if au is not None:
+            au = au.transpose(1, 0, 2).reshape(N * S, -1)
         feats = net.apply(params, obs.reshape((N * S,) + obs.shape[2:]),
-                          method="features")
+                          aux=au, method="features")
         feats = feats.reshape((N, L, mb, c, -1)).transpose(1, 2, 3, 0, 4)
         done_T = batch["done"].transpose(1, 0, 2)       # (L, mb, c)
 
@@ -555,7 +574,8 @@ def _make_train_step_rnn_image(env_params: EnvParams, cfg: PPOConfig, net,
             h = jax.tree.map(lambda x: x * keep[..., None, None], h)
             return h, y
 
-        _, ys = jax.lax.scan(body, batch["h0"], (feats, done_T))
+        _, ys = jax.lax.scan(body, batch["h0"], (feats, done_T),
+                             unroll=min(getattr(cfg, "cell_unroll", 1), L))
         logits, value = net.apply(params, ys, method="heads")
         # logits (L, mb, c, N, A); labels arrive (mb, L, c, N)
         lab = {k: batch[k].transpose(1, 0, 2, 3)

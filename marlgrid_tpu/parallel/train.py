@@ -239,7 +239,8 @@ def main(argv=None):
         # (N, B, H) (env dim 1), image-path leaves (B, N, H) (env leading)
         from jax.sharding import PartitionSpec as _P
 
-        hspec = _P("data") if args.obs == "image" else _P(None, "data")
+        hspec = (_P("data") if args.obs in ("image", "rich")
+                 else _P(None, "data"))
         h = jax.tree.map(lambda x: jax.device_put(
             x, NamedSharding(mesh, hspec)), h)
     if args.resume:

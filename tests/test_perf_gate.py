@@ -32,6 +32,9 @@ CNN_FLOOR = float(os.environ.get("MARLGRID_GATE_CNN", 0.22e6))
 # would pass a regression confined to the multi-epoch path (VERDICT r3)
 CNN2_FLOOR = float(os.environ.get("MARLGRID_GATE_CNN2", 0.15e6))
 RNN_FLOOR = float(os.environ.get("MARLGRID_GATE_RNN", 1.6e6))
+# the documented throughput configuration (--epochs 1 --envs 8192):
+# recorded 5.05M round 4
+PPO_FAST_FLOOR = float(os.environ.get("MARLGRID_GATE_PPO_FAST", 4.0e6))
 
 
 def _bench(*extra):
@@ -71,6 +74,25 @@ def test_ppo_throughput_floor():
             if ln.startswith("{")]
     v = rows[-1]["env_steps_per_s"]
     assert v >= PPO_FLOOR, f"ppo {v:,.0f} < floor {PPO_FLOOR:,.0f}"
+
+
+def test_ppo_throughput_config_floor():
+    """The documented throughput configuration (--epochs 1 --envs 8192,
+    BASELINE round-4 table: 5.05M)."""
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    out = subprocess.run(
+        [sys.executable, "-m", "marlgrid_tpu.parallel.train",
+         "--scenario", "goal_cycle", "--grid-size", "13", "--agents", "4",
+         "--envs", "8192", "--rollout", "64", "--iters", "32",
+         "--steps-per-call", "8", "--log-every", "2", "--epochs", "1"],
+        capture_output=True, text=True, timeout=3000, env=env, cwd=REPO)
+    assert out.returncode == 0, out.stdout + out.stderr
+    rows = [json.loads(ln) for ln in out.stdout.splitlines()
+            if ln.startswith("{")]
+    v = rows[-1]["env_steps_per_s"]
+    assert v >= PPO_FAST_FLOOR, \
+        f"ppo throughput config {v:,.0f} < floor {PPO_FAST_FLOOR:,.0f}"
 
 
 def test_rnn_ppo_throughput_floor():

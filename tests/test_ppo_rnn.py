@@ -150,6 +150,48 @@ def test_rnn_image_alignment_lr0(bw):
     assert ms[0]["ratio_dev"] < 1e-4, (bw, ms[0]["ratio_dev"])
 
 
+def test_rnn_rich_trains_and_aligns():
+    """'rich' + rnn: pov through the rendered pipeline, observe_* aux
+    concatenated after the conv flatten, aux rebuilt from stored states
+    in the update — alignment holds at frozen params."""
+    ep = IMG_EP.replace(observation_style="rich", observe_rewards=True,
+                        observe_position=True, observe_orientation=True)
+    cfg = _cfg(torso="cnn_s2d", lr=0.0, dtype=jnp.float32)
+    key = jax.random.PRNGKey(3)
+    net, params, tx, opt_state, h = ppo_rnn.init_state_rnn(ep, cfg, key)
+    env_state = ppo_rnn.init_env_batch(ep, cfg.n_envs,
+                                       jax.random.fold_in(key, 1))
+    step = ppo_rnn.make_train_step_rnn(ep, cfg, net, tx)
+    # the step donates its inputs — keep a copy for the second run below
+    env_state2 = jax.tree.map(jnp.copy, env_state)
+    *_, m = step(params, opt_state, env_state, h, key)
+    assert float(m["ratio_dev"]) < 1e-4, float(m["ratio_dev"])
+    # and with a real lr it trains finite
+    cfg2 = _cfg(torso="cnn_s2d")
+    net2, p2, tx2, o2, h2 = ppo_rnn.init_state_rnn(ep, cfg2, key)
+    step2 = ppo_rnn.make_train_step_rnn(ep, cfg2, net2, tx2)
+    *_, m2 = step2(p2, o2, env_state2, h2, jax.random.fold_in(key, 2))
+    assert np.isfinite(float(m2["loss"])) and float(m2["entropy"]) > 0
+
+
+def test_train_cli_rnn_rich(tmp_path, capsys):
+    """train.py --obs rich --rnn gru end to end + no-args evaluate."""
+    from marlgrid_tpu.parallel import evaluate, train
+
+    ck = str(tmp_path / "ck")
+    train.main(["--scenario", "cluttered", "--grid-size", "9",
+                "--agents", "2", "--envs", "8", "--rollout", "4",
+                "--iters", "2", "--max-steps", "10", "--view-size", "5",
+                "--obs", "rich", "--observe", "rewards,position",
+                "--rnn", "gru", "--epochs", "1",
+                "--checkpoint-dir", ck, "--checkpoint-every", "2"])
+    evaluate.main(["--checkpoint", ck, "--episodes", "1"])
+    import json
+
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["episodes"] == 1 and stats["mean_length"] > 0
+
+
 def test_train_cli_rnn_image(tmp_path, capsys):
     """train.py --obs image --rnn gru end to end + no-args evaluate."""
     from marlgrid_tpu.parallel import evaluate, train
