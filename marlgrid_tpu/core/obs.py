@@ -222,6 +222,55 @@ def all_obs_encode(params: EnvParams, state: EnvState, packed=None):
     return jnp.stack([ot, oc, os_], axis=-1)
 
 
+def encode_palettes(params: EnvParams):
+    """Static per-plane code vocabularies of the 'encode' observation for
+    this scenario — ((types…), (colors…), (states…)) sorted tuples, or
+    None when the scenario has no registered palette.
+
+    The one-hot embed's cost is MXU pass count, pass count is
+    ceil(cells / (128 // slots-per-cell)), and a scenario only ever shows
+    a handful of codes (the same structural fact the sprite kernel
+    exploits via grid_gen.SCENARIO_PALETTES) — goal_cycle's 42 full-vocab
+    slots shrink to ~17. Codes enumerated per plane from the scenario
+    palette + the obs assembly in :func:`all_obs_encode`:
+
+    - type: 0 (empty / occlusion-masked / hidden), WALL (border+clutter),
+      AGENT (painted overlay), plus palette object types;
+    - color: 0, grey (walls), palette colors, every agent color;
+    - state: 0..3 (agent relative dir; covers door open/closed/locked and
+      plain objects), bonus ids < n_bonus_tiles (grid_gen paints
+      ``(BONUS, pink, bonus_id)``), goal-reward table indices, palette
+      s values.
+
+    Used by models.OneHotEmbed(palettes=…); a code outside the vocabulary
+    one-hots to ALL-ZERO — equivalent to the full-width formulation as
+    long as the vocabulary covers every observable code
+    (tests/test_embed_palette.py sweeps real rollouts per scenario).
+    """
+    from .grid_gen import SCENARIO_PALETTES
+
+    pal = SCENARIO_PALETTES.get(params.scenario)
+    if pal is None:
+        return None
+    hidden = set(params.hide_item_types)
+    types = {C.EMPTY, C.WALL, C.AGENT}
+    colors = {0, C.COLOR_TO_IDX["grey"]}
+    states = {0, 1, 2, 3}
+    for (t, c, s) in pal:
+        if t in hidden:
+            continue
+        types.add(t)
+        colors.add(c)
+        states.add(s)
+        if t == C.BONUS:
+            states |= set(range(params.n_bonus_tiles))
+        if t == C.GOAL:
+            states |= set(range(max(1, len(params.goal_rewards))))
+    colors |= set(params.agent_colors)
+    return (tuple(sorted(types)), tuple(sorted(colors)),
+            tuple(sorted(states)))
+
+
 def base_appearance(vt, vc, vst):
     """Sprite LUT index of the cell's base object (door state only)."""
     s_vis = jnp.where(vt == C.DOOR, jnp.clip(vst, 0, NS - 1), 0)

@@ -43,6 +43,20 @@ class OneHotEmbed(nn.Module):
 
     features: int
     dtype: "object" = jnp.bfloat16
+    # compact per-scenario code vocabularies ((types…),(colors…),(states…))
+    # from core/obs.py::encode_palettes — shrinks the one-hot slot count
+    # per cell (42 -> ~17 on goal_cycle), which is the embed's cost unit
+    # (MXU pass count). None = the full static vocabularies. Out-of-vocab
+    # codes one-hot to zero; the full path clips states instead (both
+    # agree whenever the vocabulary covers the observable codes —
+    # tests/test_embed_palette.py).
+    palettes: "object" = None
+
+    def _vocab(self):
+        if self.palettes is None:
+            return (C.N_TYPES + 1, C.N_COLORS + 1, N_STATE_CODES), None
+        return tuple(len(v) for v in self.palettes), \
+            tuple(tuple(int(x) for x in v) for v in self.palettes)
 
     @nn.compact
     def __call__(self, obs, channel_first: bool = False,
@@ -57,18 +71,20 @@ class OneHotEmbed(nn.Module):
         # (the bulk store relayout measured ~23 ms/iter at B=4096).
         # All three orderings index the same per-cell weights.
         if feature_major:
+            import numpy as np
+
             from ..ops import embed as embed_op
 
             lead = obs.shape[:-2]
             S = obs.shape[-1]
             cells = obs.shape[-2] // 3
-            widths = (C.N_TYPES + 1, C.N_COLORS + 1, N_STATE_CODES)
+            widths, values = self._vocab()
             ws = [self.param(f"w{i}", nn.initializers.lecun_normal(),
                              (cells * n, self.features)).reshape(
                                  cells, n, self.features)
                   for i, n in enumerate(widths)]
             b = self.param("bias", nn.initializers.zeros, (self.features,))
-            if embed_op.available(cells, S, self.features):
+            if embed_op.available(cells, S, self.features, widths):
                 # fused Pallas path: one-hots built in VMEM, codes are the
                 # only HBM input (the XLA formulation materializes ~14x
                 # the codes' bytes of bf16 one-hots — ~36 ms/iter of the
@@ -76,7 +92,8 @@ class OneHotEmbed(nn.Module):
                 x = obs.reshape((-1,) + obs.shape[-2:])
                 wp = embed_op.pack_weights(*ws)
                 out = embed_op.onehot_embed(
-                    x, wp, cells, embed_op._block_samples(S))
+                    x, wp, cells, embed_op._block_samples(S),
+                    False, widths, values)
                 out = out.reshape(lead + out.shape[1:]).astype(self.dtype)
                 return out + b.astype(self.dtype)
             o = obs.reshape(lead + (3, cells, S))
@@ -86,9 +103,14 @@ class OneHotEmbed(nn.Module):
             out = None
             for i, n in enumerate(widths):
                 code = o[..., i, :, :]                     # (lead, cells, S)
-                if i == 2:
-                    code = jnp.clip(code, 0, N_STATE_CODES - 1)
-                oh = (code[..., None, :] == jnp.arange(n)[:, None]) \
+                if values is None:
+                    if i == 2:
+                        code = jnp.clip(code, 0, N_STATE_CODES - 1)
+                    vocab = jnp.arange(n)[:, None]
+                else:
+                    vocab = jnp.asarray(
+                        np.asarray(values[i], np.int32))[:, None]
+                oh = (code[..., None, :] == vocab) \
                     .astype(self.dtype)                    # (lead,cells,n,S)
                 y = jax.lax.dot_general(oh, ws[i].astype(self.dtype), dn,
                                         preferred_element_type=self.dtype)
@@ -105,12 +127,18 @@ class OneHotEmbed(nn.Module):
         nb = len(lead)
         dn = (((nb, nb + 1), (0, 1)), ((), ()))
         out = None
-        widths = (C.N_TYPES + 1, C.N_COLORS + 1, N_STATE_CODES)
+        widths, values = self._vocab()
         for i, n in enumerate(widths):
             code = o[..., i, :] if channel_first else o[..., i]
-            if i == 2:
-                code = jnp.clip(code, 0, N_STATE_CODES - 1)
-            oh = (code[..., None] == jnp.arange(n)).astype(self.dtype)
+            if values is None:
+                if i == 2:
+                    code = jnp.clip(code, 0, N_STATE_CODES - 1)
+                vocab = jnp.arange(n)
+            else:
+                import numpy as np
+
+                vocab = jnp.asarray(np.asarray(values[i], np.int32))
+            oh = (code[..., None] == vocab).astype(self.dtype)
             w = self.param(f"w{i}", nn.initializers.lecun_normal(),
                            (cells * n, self.features)).reshape(
                                cells, n, self.features)
@@ -187,9 +215,10 @@ class ActorCritic(nn.Module):
         elif torso in ("cnn_s2d", "cnn_image"):
             x = _conv_torso(self, obs, cfg, torso)
         else:
-            x = nn.relu(OneHotEmbed(cfg.hidden, cfg.dtype,
-                                    name="torso0")(obs, channel_first,
-                                                   feature_major))
+            x = nn.relu(OneHotEmbed(
+                cfg.hidden, cfg.dtype,
+                palettes=getattr(cfg, "embed_palettes", None),
+                name="torso0")(obs, channel_first, feature_major))
         if aux is not None:
             x = jnp.concatenate([x, aux.astype(cfg.dtype)], axis=-1)
         x = nn.relu(nn.Dense(cfg.hidden, dtype=cfg.dtype, name="torso")(x))
@@ -203,6 +232,32 @@ class ActorCritic(nn.Module):
         value = nn.Dense(1, dtype=cfg.dtype, name="v")(
             x).astype(jnp.float32)
         return logits, value[..., 0]
+
+
+class FusedGRUCell(nn.Module):
+    """GRU cell with gate-fused GEMMs: TWO (M, H)x(H, 3H) matmuls per
+    step instead of ``nn.GRUCell``'s six separate (H, H) Dense calls —
+    the same update formula (r/z recurrent terms unbiased, the
+    candidate's recurrent term biased, exactly as flax writes it), but
+    each scan step issues 2 wide MXU ops instead of 6 narrow ones.
+    Measured on the recurrent PPO step (BASELINE round 4)."""
+
+    features: int
+    dtype: "object" = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, carry, x):
+        H = self.features
+        gi = nn.Dense(3 * H, dtype=self.dtype, name="i")(x)
+        gh = nn.Dense(3 * H, use_bias=False, dtype=self.dtype,
+                      name="h")(carry)
+        b_hn = self.param("hn_bias", nn.initializers.zeros, (H,))
+        r = nn.sigmoid(gi[..., :H] + gh[..., :H])
+        z = nn.sigmoid(gi[..., H:2 * H] + gh[..., H:2 * H])
+        n = nn.tanh(gi[..., 2 * H:]
+                    + r * (gh[..., 2 * H:] + b_hn.astype(self.dtype)))
+        new_h = (1.0 - z) * n + z * carry
+        return new_h, new_h
 
 
 class RecurrentActorCritic(nn.Module):
@@ -239,7 +294,9 @@ class RecurrentActorCritic(nn.Module):
         cfg = self.cfg
         torso = getattr(cfg, "torso", "mlp")
         if torso == "mlp":
-            self.torso0 = OneHotEmbed(cfg.hidden, cfg.dtype)
+            self.torso0 = OneHotEmbed(
+                cfg.hidden, cfg.dtype,
+                palettes=getattr(cfg, "embed_palettes", None))
         else:
             # pixels torsos (cnn_s2d / cnn_image): same stacks and param
             # names as the feedforward family's _conv_torso
@@ -259,7 +316,7 @@ class RecurrentActorCritic(nn.Module):
             self.cell = nn.OptimizedLSTMCell(cfg.hidden, dtype=cfg.dtype)
         else:
             assert cfg.rnn == "gru", cfg.rnn
-            self.cell = nn.GRUCell(cfg.hidden, dtype=cfg.dtype)
+            self.cell = FusedGRUCell(cfg.hidden, dtype=cfg.dtype)
         self.torso = nn.Dense(cfg.hidden, dtype=cfg.dtype)
         self.pi = nn.Dense(C.N_ACTIONS, dtype=cfg.dtype)
         self.v = nn.Dense(1, dtype=cfg.dtype)

@@ -39,39 +39,67 @@ N_STATE_CODES = 20                      # mirror models.actor_critic
 WIDTHS = (C.N_TYPES + 1, C.N_COLORS + 1, N_STATE_CODES)
 CW = sum(WIDTHS)                        # 42 one-hot slots per view cell
 GROUP = 128 // CW                       # cells per MXU pass (3 -> K=126)
-_OFF = (0, WIDTHS[0], WIDTHS[0] + WIDTHS[1])
 
 
-def n_groups(cells: int) -> int:
-    return -(-cells // GROUP)
+def group_size(widths=WIDTHS) -> int:
+    """Cells per MXU pass: compact scenario palettes (models.OneHotEmbed
+    ``palettes``) shrink the per-cell slot count, packing MORE cells into
+    each 128-wide contraction — goal_cycle's 42 -> 17 slots turns 17
+    K=126 passes into 7 K=119 ones (the embed's cost is pass-count)."""
+    return max(1, 128 // sum(widths))
+
+
+def n_groups(cells: int, widths=WIDTHS) -> int:
+    return -(-cells // group_size(widths))
 
 
 def pack_weights(w0, w1, w2):
     """(cells, n_p, H) x3 -> (n_groups, GROUP*CW, H) padded group tiles.
 
     Plain JAX (cheap concat+pad of ~1 MB) so autodiff splits grad_W back to
-    the three tables without any custom rule.
+    the three tables without any custom rule. Widths are read off the
+    table shapes, so compact-palette tables pack identically.
     """
     cells, h = w0.shape[0], w0.shape[-1]
-    w = jnp.concatenate([w0, w1, w2], axis=1)       # (cells, CW, H)
-    g = n_groups(cells)
-    pad = g * GROUP - cells
+    widths = (w0.shape[1], w1.shape[1], w2.shape[1])
+    cw, grp = sum(widths), group_size(widths)
+    w = jnp.concatenate([w0, w1, w2], axis=1)       # (cells, cw, H)
+    g = n_groups(cells, widths)
+    pad = g * grp - cells
     if pad:
-        w = jnp.concatenate([w, jnp.zeros((pad, CW, h), w.dtype)])
-    return w.reshape(g, GROUP * CW, h)
+        w = jnp.concatenate([w, jnp.zeros((pad, cw, h), w.dtype)])
+    return w.reshape(g, grp * cw, h)
 
 
-def _kernel(cells: int, bwd: bool):
+def _kernel(cells: int, bwd: bool, widths=WIDTHS, values=None):
     """Forward: out[r, s, :] = sum_cells W[cell, onehot(codes)].
-    Backward (bwd=True): accumulate dW[g] += onehot^T-block @ dout."""
-    g_total = n_groups(cells)
+    Backward (bwd=True): accumulate dW[g] += onehot^T-block @ dout.
+
+    ``values`` (tuple of per-plane code tuples) switches the one-hot
+    compare from iota to an explicit vocabulary — the compact-palette
+    path; out-of-vocabulary codes match nothing (zero row), exactly the
+    one-hot semantics of an unused slot."""
+    g_total = n_groups(cells, widths)
+    cw, grp = sum(widths), group_size(widths)
     dn = (((0,), (0,)), ((), ()))
 
     def kernel(x_ref, w_ref, o_ref):
         x = x_ref[0].astype(jnp.int32)              # (F, bs) codes
         bs = x.shape[-1]
-        iotas = [jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-                 for n in WIDTHS]
+        if values is None:
+            vocab = [jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+                     for n in widths]
+
+            def plane_onehot(code, p):
+                return (code == vocab[p]).astype(jnp.bfloat16)
+        else:
+            # palette vocabularies: pallas kernels cannot capture array
+            # constants, so compare per SCALAR value (compile-time loop;
+            # compare count == one-hot elements, same as the iota path)
+            def plane_onehot(code, p):
+                return jnp.concatenate(
+                    [(code == int(v)).astype(jnp.bfloat16)
+                     for v in values[p]], axis=0)       # (n_p, bs)
         if bwd:
             @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
             def _init():
@@ -79,24 +107,23 @@ def _kernel(cells: int, bwd: bool):
         acc = None
         for g in range(g_total):
             # one (n_p, bs) compare per plane, sublane-concatenated into
-            # the (126, bs) group tile: compare work == one-hot elements
+            # the group tile: compare work == one-hot elements
             # (a full-width compare per plane costs 3.5x redundant VPU ops
             # — measured slower than the XLA formulation)
             pieces = []
-            for q in range(GROUP):
-                j = g * GROUP + q
+            for q in range(grp):
+                j = g * grp + q
                 if j >= cells:
-                    pieces.append(jnp.zeros((CW, bs), jnp.bfloat16))
+                    pieces.append(jnp.zeros((cw, bs), jnp.bfloat16))
                     continue
-                for p, n in enumerate(WIDTHS):
+                for p, n in enumerate(widths):
                     code = x[p * cells + j][None, :]          # (1, bs)
-                    if p == 2:
+                    if p == 2 and values is None:
                         # box-packed states reach 176: clip into the state
                         # vocab (matches the XLA path's jnp.clip)
                         code = jnp.minimum(code, N_STATE_CODES - 1)
                     # out-of-vocab codes match nothing (one-hot semantics)
-                    pieces.append((code == iotas[p])
-                                  .astype(jnp.bfloat16))      # (n, bs)
+                    pieces.append(plane_onehot(code, p))      # (n, bs)
             ohb = jnp.concatenate(pieces, axis=0)
             if bwd:
                 # dW[g] += onehot @ dout : (126, bs) x (bs, H)
@@ -115,13 +142,15 @@ def _kernel(cells: int, bwd: bool):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cells", "bs", "interpret"))
-def _fwd(x, w, cells: int, bs: int, interpret: bool = False):
-    """x (R, F, S) uint8, w (g, 126, H) bf16 -> (R, S, H) f32."""
+                   static_argnames=("cells", "bs", "interpret", "widths",
+                                    "values"))
+def _fwd(x, w, cells: int, bs: int, interpret: bool = False,
+         widths=WIDTHS, values=None):
+    """x (R, F, S) uint8, w (g, grp*cw, H) bf16 -> (R, S, H) f32."""
     R, F, S = x.shape
     g, k, H = w.shape
     return pl.pallas_call(
-        _kernel(cells, bwd=False),
+        _kernel(cells, bwd=False, widths=widths, values=values),
         grid=(R, S // bs),
         in_specs=[
             pl.BlockSpec((1, F, bs), lambda r, i: (r, 0, i),
@@ -137,14 +166,17 @@ def _fwd(x, w, cells: int, bs: int, interpret: bool = False):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cells", "bs", "interpret"))
-def _bwd_w(x, dout, cells: int, bs: int, interpret: bool = False):
-    """x (R, F, S), dout (R, S, H) -> dW (g, 126, H) f32 (accumulated)."""
+                   static_argnames=("cells", "bs", "interpret", "widths",
+                                    "values"))
+def _bwd_w(x, dout, cells: int, bs: int, interpret: bool = False,
+           widths=WIDTHS, values=None):
+    """x (R, F, S), dout (R, S, H) -> dW (g, grp*cw, H) f32 (accumulated)."""
     R, F, S = x.shape
     H = dout.shape[-1]
-    g = n_groups(cells)
+    g = n_groups(cells, widths)
+    k = group_size(widths) * sum(widths)
     return pl.pallas_call(
-        _kernel(cells, bwd=True),
+        _kernel(cells, bwd=True, widths=widths, values=values),
         grid=(R, S // bs),
         in_specs=[
             pl.BlockSpec((1, F, bs), lambda r, i: (r, 0, i),
@@ -152,9 +184,9 @@ def _bwd_w(x, dout, cells: int, bs: int, interpret: bool = False):
             pl.BlockSpec((1, bs, H), lambda r, i: (r, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((g, GROUP * CW, H), lambda r, i: (0, 0, 0),
+        out_specs=pl.BlockSpec((g, k, H), lambda r, i: (0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((g, GROUP * CW, H), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((g, k, H), jnp.float32),
         interpret=interpret,
     )(x, dout)
 
@@ -166,7 +198,7 @@ def _block_samples(S: int) -> int:
     return 0
 
 
-def available(cells: int, S: int, H: int) -> bool:
+def available(cells: int, S: int, H: int, widths=WIDTHS) -> bool:
     import os
 
     if os.environ.get("MARLGRID_TPU_NO_EMBED_KERNEL"):
@@ -174,30 +206,37 @@ def available(cells: int, S: int, H: int) -> bool:
     if jax.default_backend() != "tpu":
         return False
     # VMEM budget: packed W + per-block operands; H rides the lane dim
-    if H > 1024 or n_groups(cells) * GROUP * CW * H * 2 > 4 << 20:
+    k = group_size(widths) * sum(widths)
+    if H > 1024 or n_groups(cells, widths) * k * H * 2 > 4 << 20:
         return False
     return _block_samples(S) > 0
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def onehot_embed(x, w_packed, cells: int, bs: int, interpret: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def onehot_embed(x, w_packed, cells: int, bs: int, interpret: bool = False,
+                 widths=WIDTHS, values=None):
     """Fused one-hot embed: codes (R, F, S) x packed weights -> (R, S, H).
 
     ``x`` feature-major uint8/int codes, F = 3*cells ordered (plane, cell);
     ``w_packed`` from ``pack_weights``. Differentiable in ``w_packed`` only
-    (codes are integers — like an embedding table lookup).
+    (codes are integers — like an embedding table lookup). ``widths`` /
+    ``values``: the compact-palette vocabulary (models.OneHotEmbed
+    ``palettes``); both must be hashable tuples (static).
     """
-    return _fwd(x, w_packed.astype(jnp.bfloat16), cells, bs, interpret)
+    return _fwd(x, w_packed.astype(jnp.bfloat16), cells, bs, interpret,
+                widths, values)
 
 
-def _vjp_fwd(x, w_packed, cells, bs, interpret):
-    return onehot_embed(x, w_packed, cells, bs, interpret), x
+def _vjp_fwd(x, w_packed, cells, bs, interpret, widths, values):
+    return onehot_embed(x, w_packed, cells, bs, interpret, widths,
+                        values), x
 
 
-def _vjp_bwd(cells, bs, interpret, x, dout):
+def _vjp_bwd(cells, bs, interpret, widths, values, x, dout):
     import numpy as np
 
-    dw = _bwd_w(x, dout.astype(jnp.bfloat16), cells, bs, interpret)
+    dw = _bwd_w(x, dout.astype(jnp.bfloat16), cells, bs, interpret,
+                widths, values)
     # integer codes take a float0 cotangent (they are indices, like an
     # embedding lookup's)
     return np.zeros(x.shape, jax.dtypes.float0), dw

@@ -84,6 +84,10 @@ def parse_args(argv=None):
                         "program (amortizes per-dispatch host latency — "
                         "~20 ms/iter through the TPU relay); metrics/"
                         "checkpoints then have steps-per-call granularity")
+    p.add_argument("--no-embed-palette", action="store_true",
+                   help="disable the compact per-scenario one-hot "
+                        "vocabularies for the encode embed (full static "
+                        "vocab, the pre-round-4 behavior)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--model-shards", type=int, default=1)
     p.add_argument("--metrics", default=None, help="JSONL metrics path")
@@ -192,6 +196,18 @@ def main(argv=None):
                         n_minibatches=args.minibatches,
                         board_pool=args.board_pool, rnn=args.rnn,
                         bptt_window=args.bptt_window)
+    if (args.obs == "encode" and torso == "mlp"
+            and not ep.has_hetero_obs and not args.no_embed_palette):
+        # compact one-hot vocabularies for the embed (core/obs.py::
+        # encode_palettes): ~2.4x fewer MXU passes on goal_cycle. Rides
+        # PPOConfig so the checkpoint's config.json rebuilds the same net.
+        import dataclasses as _dc
+
+        from ..core import obs as _obs_mod
+
+        pals = _obs_mod.encode_palettes(ep)
+        if pals is not None:
+            cfg = _dc.replace(cfg, embed_palettes=pals)
     mesh = make_mesh(n_model=args.model_shards)
 
     key = jax.random.PRNGKey(args.seed)
