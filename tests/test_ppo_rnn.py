@@ -209,6 +209,39 @@ def test_train_cli_rnn_image(tmp_path, capsys):
     assert stats["episodes"] == 1 and stats["mean_length"] > 0
 
 
+def test_fused_gru_matches_flax_gru():
+    """FusedGRUCell (two gate-fused GEMMs) computes exactly nn.GRUCell's
+    update when its fused kernels are split into flax's six per-gate
+    tables — same function, fewer MXU ops."""
+    import flax.linen as nn
+    from marlgrid_tpu.models.actor_critic import FusedGRUCell
+
+    H, B = 16, 8
+    fused = FusedGRUCell(H, dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(B, H)),
+                    jnp.float32)
+    h = jnp.asarray(np.random.default_rng(1).normal(size=(B, H)),
+                    jnp.float32)
+    fp = fused.init(jax.random.PRNGKey(2), h, x)["params"]
+    h_f, _ = fused.apply({"params": fp}, h, x)
+
+    ki, bi = np.asarray(fp["i"]["kernel"]), np.asarray(fp["i"]["bias"])
+    kh = np.asarray(fp["h"]["kernel"])
+    gp = {
+        "ir": {"kernel": ki[:, :H], "bias": bi[:H]},
+        "iz": {"kernel": ki[:, H:2 * H], "bias": bi[H:2 * H]},
+        "in": {"kernel": ki[:, 2 * H:], "bias": bi[2 * H:]},
+        "hr": {"kernel": kh[:, :H]},
+        "hz": {"kernel": kh[:, H:2 * H]},
+        "hn": {"kernel": kh[:, 2 * H:],
+               "bias": np.asarray(fp["hn_bias"])},
+    }
+    ref = nn.GRUCell(H, dtype=jnp.float32)
+    h_r, _ = ref.apply({"params": jax.tree.map(jnp.asarray, gp)}, h, x)
+    np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_r),
+                               atol=1e-6, rtol=1e-6)
+
+
 def test_carry_changes_output():
     """The cell actually carries memory: same obs, different carry ->
     different logits (a feedforward regression would pass everything
