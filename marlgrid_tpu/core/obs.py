@@ -271,6 +271,53 @@ def encode_palettes(params: EnvParams):
             tuple(sorted(states)))
 
 
+def validate_encode_palette(params: EnvParams, key=None, n_envs: int = 4,
+                            n_steps: int = 24):
+    """One-off host-side sweep verifying the scenario's declared palette
+    covers every code the 'encode' obs actually shows (round-4 advisor:
+    compact one-hot vocabularies map out-of-vocabulary codes to ALL-ZERO,
+    so a custom ``register_scenario(palette=…)`` with an incomplete
+    palette would silently zero observation signal during training).
+
+    Resets ``n_envs`` boards, random-walks ``n_steps``, and checks every
+    observed (type, color, state) plane code against
+    :func:`encode_palettes`; raises ValueError naming the missing codes.
+    Builtin scenarios are swept exhaustively by tests
+    (tests/test_embed_palette.py); train.py runs this at init for CUSTOM
+    registered scenarios."""
+    pals = encode_palettes(params)
+    if pals is None:
+        return
+    from . import constants as C_
+    from . import grid_gen, step as step_mod
+    key = jax.random.PRNGKey(0) if key is None else key
+    keys = jax.random.split(jax.random.fold_in(key, 0), n_envs)
+    state = jax.vmap(lambda k: grid_gen.reset(params, k))(keys)
+    vocabs = [set(v) for v in pals]
+    names = ("type", "color", "state")
+
+    def check(state, t):
+        obs = np.asarray(all_obs_encode_b(params, state))
+        for i, vocab in enumerate(vocabs):
+            missing = set(np.unique(obs[..., i]).tolist()) - vocab
+            if missing:
+                raise ValueError(
+                    f"scenario {params.scenario!r}: encode palette misses "
+                    f"{names[i]} codes {sorted(missing)} (observed at "
+                    f"random-walk step {t}; declared vocabulary "
+                    f"{sorted(vocab)}). Fix the register_scenario("
+                    f"palette=…) declaration, or disable compact embed "
+                    f"vocabularies (--no-embed-palette)")
+
+    check(state, 0)
+    for t in range(n_steps):
+        key, ak = jax.random.split(key)
+        acts = jax.random.randint(ak, (n_envs, params.n_agents), 0,
+                                  C_.N_ACTIONS)
+        state, _, _, _ = step_mod.step_autoreset_batch(params, state, acts)
+        check(state, t + 1)
+
+
 def base_appearance(vt, vc, vst):
     """Sprite LUT index of the cell's base object (door state only)."""
     s_vis = jnp.where(vt == C.DOOR, jnp.clip(vst, 0, NS - 1), 0)
@@ -349,7 +396,18 @@ def view_cells(params: EnvParams, state: EnvState, i, packed=None):
 # ---------------------------------------------------------------------------
 
 
-def view_coords_bminor(params: EnvParams, bstate: EnvState):
+def _observer_agents(bstate: EnvState, observers):
+    """(B, n, 2) pos + (B, n) dir of the OBSERVING agents — all of them
+    (observers=None) or a static index subset (the hetero per-group obs
+    path renders each group's observers only; the board painting still
+    covers every agent, so observed-agent content is unaffected)."""
+    if observers is None:
+        return bstate.agent_pos, bstate.agent_dir
+    idx = jnp.asarray(observers)
+    return bstate.agent_pos[:, idx], bstate.agent_dir[:, idx]
+
+
+def view_coords_bminor(params: EnvParams, bstate: EnvState, observers=None):
     """(N, vs, vs, B) world x, world y, in-bounds — batch-minor.
 
     Axis order matters: the LAST TWO dims map to (sublane, lane) tiles, so
@@ -357,9 +415,10 @@ def view_coords_bminor(params: EnvParams, bstate: EnvState):
     """
     vs = params.view_size
     offs = rel_offsets(vs, params.view_offset)     # (4, vs, vs, 2) static np
-    px = bstate.agent_pos[..., 0].T[:, None, None, :]  # (N, 1, 1, B)
-    py = bstate.agent_pos[..., 1].T[:, None, None, :]
-    dT = bstate.agent_dir.T[:, None, None, :]
+    apos, adir = _observer_agents(bstate, observers)
+    px = apos[..., 0].T[:, None, None, :]          # (N, 1, 1, B)
+    py = apos[..., 1].T[:, None, None, :]
+    dT = adir.T[:, None, None, :]
     wx = jnp.zeros((1, vs, vs, 1), jnp.int32)
     wy = jnp.zeros((1, vs, vs, 1), jnp.int32)
     for d in range(4):
@@ -406,7 +465,7 @@ def pack_grid_with_agents(params: EnvParams, bstate: EnvState,
 
 
 def extract_views_b(params: EnvParams, bstate: EnvState, wx, wy, inb,
-                    packed=None):
+                    packed=None, observers=None):
     """Packed view values for all envs/agents: (N, vs, vs, B) int32.
 
     One batched einsum pair per call (B-major operands — the one dense
@@ -415,21 +474,23 @@ def extract_views_b(params: EnvParams, bstate: EnvState, wx, wy, inb,
     through the Pallas transpose kernel (ops/transpose.py) — letting XLA
     fuse it into the reduction emits strided writes ~10x slower.
     """
-    N, vs = params.n_agents, params.view_size
+    vs = params.view_size
+    N = params.n_agents if observers is None else len(observers)
     W, H = params.width, params.height
     B = bstate.grid_type.shape[0]
     K = N * vs * vs
     # B-major coords recomputed straight from the agent block (NOT a
     # transpose of the B-minor ones: a fused transpose feeding the einsum
     # makes the contraction read strided and costs ~10x — measured).
+    apos, adir = _observer_agents(bstate, observers)
     offs = rel_offsets(vs, params.view_offset).reshape(4, vs * vs, 2)
-    doh = (bstate.agent_dir[..., None] == jnp.arange(4))  # (B, N, 4)
+    doh = (adir[..., None] == jnp.arange(4))              # (B, N, 4)
     offx = jnp.einsum("bnd,dk->bnk", doh.astype(jnp.int32),
                       jnp.asarray(offs[..., 0]))
     offy = jnp.einsum("bnd,dk->bnk", doh.astype(jnp.int32),
                       jnp.asarray(offs[..., 1]))
-    wxB = (bstate.agent_pos[..., 0:1] + offx).reshape(B, K)
-    wyB = (bstate.agent_pos[..., 1:2] + offy).reshape(B, K)
+    wxB = (apos[..., 0:1] + offx).reshape(B, K)
+    wyB = (apos[..., 1:2] + offy).reshape(B, K)
     inbB = ((wxB >= 0) & (wxB < W) & (wyB >= 0) & (wyB < H))
     ox = ((wxB[..., None] == jnp.arange(W)) & inbB[..., None]) \
         .astype(jnp.float32)
@@ -446,17 +507,27 @@ def extract_views_b(params: EnvParams, bstate: EnvState, wx, wy, inb,
     return jnp.where(inb, pv, wall)
 
 
-def all_view_cells_b(params: EnvParams, bstate: EnvState, with_dim=False):
+def all_view_cells_b(params: EnvParams, bstate: EnvState, with_dim=False,
+                     observers=None, packed=None):
     """Batched §all_view_cells, all outputs (N, vs, vs, B) batch-minor.
 
     The agent overlay (and prestige level when ``with_dim``) arrives
     painted into the packed board (``pack_grid_with_agents``) and is
     decoded from the extraction's high bits — no per-view-cell agent-match
     loop. ``with_dim=True`` appends the observed agent's quantized
-    prestige LEVEL (int32; the sprite kernel packs the 3 bits directly)."""
-    wx, wy, inb = view_coords_bminor(params, bstate)
-    packed = pack_grid_with_agents(params, bstate, with_lvl=with_dim)
-    pv = extract_views_b(params, bstate, wx, wy, inb, packed)
+    prestige LEVEL (int32; the sprite kernel packs the 3 bits directly).
+
+    ``observers``: static agent-index subset restricting WHO observes
+    (N = len(observers)); the painted board still carries every agent, so
+    the views' content is identical to slicing the full-N result — the
+    hetero per-group path renders each group's observers only (the old
+    full-N-render-then-slice did G×N agents' worth of contraction work).
+    ``packed``: a precomputed ``pack_grid_with_agents`` board (painting is
+    group-independent, so hetero callers paint ONCE and share it)."""
+    wx, wy, inb = view_coords_bminor(params, bstate, observers)
+    if packed is None:
+        packed = pack_grid_with_agents(params, bstate, with_lvl=with_dim)
+    pv = extract_views_b(params, bstate, wx, wy, inb, packed, observers)
     low = pv % _PACK_A
     vt = low % _PACK_C
     vc = (low // _PACK_C) % 16
@@ -465,7 +536,8 @@ def all_view_cells_b(params: EnvParams, bstate: EnvState, with_dim=False):
     A = ab % 64
     any_agent = A > 0
     acolor = jnp.where(any_agent, (A - 1) // 4, 0)
-    dobs = bstate.agent_dir.T[:, None, None, :]    # observer dir (N,1,1,B)
+    _, adir = _observer_agents(bstate, observers)
+    dobs = adir.T[:, None, None, :]                # observer dir (N,1,1,B)
     reldir = jnp.where(any_agent, ((A - 1) % 4 - dobs + 3) % 4, 0)
     if not with_dim:
         return vt, vc, vst, any_agent, acolor, reldir
@@ -519,7 +591,8 @@ def process_vis_b(t, view_size: int, view_offset: int):
     return jnp.stack(cols, axis=2)                 # (N, vs, vs, B)
 
 
-def all_obs_encode_b(params: EnvParams, bstate: EnvState, bminor=False):
+def all_obs_encode_b(params: EnvParams, bstate: EnvState, bminor=False,
+                     observers=None, packed=None):
     """Batched 'encode' obs — bit-identical to ``vmap(all_obs_encode)``
     (tested).
 
@@ -527,8 +600,12 @@ def all_obs_encode_b(params: EnvParams, bstate: EnvState, bminor=False):
     ``bminor=True``: (3, N, vs, vs, B) int32, the TPU-native layout (batch
     on lanes) — skips the major<->minor output transpose; use on hot paths
     whose consumer contracts over features anyway (bench, PPO torso).
+    ``observers``/``packed``: see :func:`all_view_cells_b` — the hetero
+    per-group path renders each group's own observers against one shared
+    painted board (bit-identical to slicing the full-N render, tested).
     """
-    vt, vc, vst, any_agent, acolor, reldir = all_view_cells_b(params, bstate)
+    vt, vc, vst, any_agent, acolor, reldir = all_view_cells_b(
+        params, bstate, observers=observers, packed=packed)
     hvt, hvc, hvst = apply_hidden(params, vt, vc, vst)
     ot = jnp.where(any_agent, C.AGENT, hvt)
     oc = jnp.where(any_agent, acolor, hvc)

@@ -15,7 +15,11 @@ but the checkpoint path:
 Explicitly passed env/model flags are cross-checked against the config and
 ERROR on mismatch (a shape-coincident mismatch would restore garbage
 silently); ``--max-steps`` is the eval-time override. Legacy checkpoints
-without config.json rebuild the template from flags as before.
+without config.json rebuild the template from flags as before — EXCEPT
+pre-round-4 ``--rnn gru`` checkpoints: round 4's FusedGRUCell changed the
+'cell' param tree (gate-fused i/h/hn_bias vs flax's six ir/iz/in/hr/hz/hn
+Dense blocks), so those restores fail loudly on a tree mismatch and cannot
+be rebuilt by this code (re-train, or restore with a pre-round-4 revision).
 
 The checkpoint template is built with ``jax.eval_shape`` (no env batch is
 actually materialized), so evaluating a B=4096 training checkpoint on a

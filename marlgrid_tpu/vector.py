@@ -92,11 +92,24 @@ class VectorEnv:
         def _obs(state):
             if self.obs_groups is None:
                 return _one(params, state)
-            return {
-                g: jax.tree.map(lambda x: x[:, jnp.asarray(idxs)],
-                                _one(gp, state))
-                for g, (idxs, gp) in enumerate(self.obs_groups)
-            }
+            # encode groups render ONLY their own observers against one
+            # shared painted board (obs.all_obs_encode_b observers=…) —
+            # total contraction work equals one full-N render; image/rich
+            # groups keep the full-N render + column slice (the sprite
+            # kernel's layout is full-population).
+            shared_packed = (
+                obs_mod.pack_grid_with_agents(params, state)
+                if any(gp.observation_style == "encode"
+                       for _, gp in self.obs_groups) else None)
+            out = {}
+            for g, (idxs, gp) in enumerate(self.obs_groups):
+                if gp.observation_style == "encode":
+                    out[g] = obs_mod.all_obs_encode_b(
+                        gp, state, observers=idxs, packed=shared_packed)
+                else:
+                    out[g] = jax.tree.map(
+                        lambda x: x[:, jnp.asarray(idxs)], _one(gp, state))
+            return out
 
         def _reset(key):
             keys = jax.random.split(key, n_envs)

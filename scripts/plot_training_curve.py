@@ -28,8 +28,10 @@ GRID = "#e8e7e2"
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("jsonl")
-    ap.add_argument("--envs-per-iter", type=int, required=True,
-                    help="env-steps per logged iteration (n_envs * rollout)")
+    ap.add_argument("--envs-per-iter", type=int, default=None,
+                    help="env-steps per logged iteration (n_envs * rollout "
+                         "* steps-per-call) — only needed for LEGACY JSONLs "
+                         "without the cumulative env_steps field")
     ap.add_argument("--out", default="artifacts/training_curve.png")
     ap.add_argument("--title", default="Goal-cycle PPO learning curve")
     ap.add_argument("--panel2", default="cycles",
@@ -42,7 +44,15 @@ def main():
 
     rows = [json.loads(ln) for ln in open(args.jsonl) if ln.strip()]
     rows = [r for r in rows if r.get("n_episodes", 0) > 0]
-    xs = [(r["step"] + 1) * args.envs_per_iter / 1e6 for r in rows]
+    if rows and "env_steps" in rows[0]:
+        # round-5+ JSONLs carry cumulative env-steps per row
+        xs = [r["env_steps"] / 1e6 for r in rows]
+    else:
+        if args.envs_per_iter is None:
+            raise SystemExit("legacy JSONL without env_steps: pass "
+                             "--envs-per-iter (n_envs * rollout; the step "
+                             "field counts fused CALLS in legacy files)")
+        xs = [(r["step"] + 1) * args.envs_per_iter / 1e6 for r in rows]
 
     def smooth(ys, k=5):
         """episode-count-weighted rolling mean (windows vary in episodes)"""

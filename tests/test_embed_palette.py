@@ -142,3 +142,29 @@ def test_train_cli_palette_roundtrip(tmp_path, capsys):
 
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["episodes"] == 1 and stats["mean_length"] > 0
+
+
+def test_validate_encode_palette_custom_scenario():
+    """validate_encode_palette (round-4 advisor): an incomplete custom
+    register_scenario palette raises naming the missing codes (a silent
+    all-zero one-hot would strip observation signal during training); a
+    complete palette passes."""
+    import marlgrid_tpu.objects as O
+    from marlgrid_tpu.core import grid_gen
+
+    def _engine(params, layers, split_x, door_y):
+        return layers, [O.Lava() for _ in range(4)] + [O.Goal()], None
+
+    grid_gen.register_scenario("palcheck_ok", _engine, 5,
+                               palette=[O.Lava().encode(),
+                                        O.Goal().encode()])
+    grid_gen.register_scenario("palcheck_bad", _engine, 5,
+                               palette=[O.Goal().encode()])  # lava missing
+    base = dict(width=11, height=11, n_agents=2, max_steps=20,
+                observation_style="encode",
+                agent_colors=default_agent_colors(2))
+    obs_mod.validate_encode_palette(
+        EnvParams(scenario="palcheck_ok", **base), n_steps=6)
+    with pytest.raises(ValueError, match="palette misses"):
+        obs_mod.validate_encode_palette(
+            EnvParams(scenario="palcheck_bad", **base), n_steps=6)

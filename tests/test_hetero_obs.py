@@ -220,3 +220,48 @@ def test_hetero_flags_parity():
         check(obs, oobs)
         if done:
             break
+
+
+def test_observer_subset_render_parity():
+    """The hetero fast path — per-group observer-only renders against one
+    shared painted board (``all_obs_encode_b(observers=…, packed=…)``) —
+    is bit-identical to slicing the full-N render (round-5 rebuild of
+    parallel/ppo_hetero.py and VectorEnv hetero obs)."""
+    import jax
+    import numpy as np
+
+    from marlgrid_tpu.core import obs as obs_mod
+    from marlgrid_tpu.parallel import ppo
+    from marlgrid_tpu.vector import VectorEnv, obs_groups
+
+    ep = EnvParams(width=11, height=11, n_agents=4, scenario="cluttered",
+                   n_clutter=8, max_steps=50, view_size=5,
+                   observation_style="encode",
+                   agent_view_sizes=(5, 7, 5, 7),
+                   agent_view_offsets=(0, 1, 0, 1),
+                   agent_see_through_walls=(False, True, False, True),
+                   agent_colors=default_agent_colors(4))
+    env = VectorEnv(ep, n_envs=16)
+    state, _ = env.reset(jax.random.PRNGKey(3))
+    key = jax.random.PRNGKey(9)
+    for t in range(6):   # random walk so observers face every direction
+        key, ak = jax.random.split(key)
+        acts = jax.random.randint(ak, (16, 4), 0, 7)
+        state, obs, _, _, _ = env.step(state, acts)
+        packed = obs_mod.pack_grid_with_agents(ep, state)
+        for g, (idxs, gp) in enumerate(obs_groups(ep)):
+            full = obs_mod.all_obs_encode_b(gp, state)   # (B, N, vs, vs, 3)
+            sub = obs_mod.all_obs_encode_b(gp, state, observers=idxs,
+                                           packed=packed)
+            np.testing.assert_array_equal(
+                np.asarray(sub), np.asarray(full[:, np.asarray(idxs)]),
+                err_msg=f"t={t} group={g}")
+            # the bminor (feature-major source) variant agrees too
+            subm = obs_mod.all_obs_encode_b(gp, state, bminor=True,
+                                            observers=idxs, packed=packed)
+            np.testing.assert_array_equal(
+                np.asarray(subm.transpose(4, 1, 2, 3, 0)), np.asarray(sub),
+                err_msg=f"t={t} group={g} bminor")
+            # and it is exactly what VectorEnv's hetero obs now returns
+            np.testing.assert_array_equal(np.asarray(obs[g]),
+                                          np.asarray(sub))
