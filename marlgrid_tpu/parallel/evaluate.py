@@ -20,6 +20,8 @@ pre-round-4 ``--rnn gru`` checkpoints: round 4's FusedGRUCell changed the
 'cell' param tree (gate-fused i/h/hn_bias vs flax's six ir/iz/in/hr/hz/hn
 Dense blocks), so those restores fail loudly on a tree mismatch and cannot
 be rebuilt by this code (re-train, or restore with a pre-round-4 revision).
+Round 5's FusedLSTMCell breaks pre-round-5 ``--rnn lstm`` checkpoints the
+same way (fused i/h kernels vs OptimizedLSTMCell's eight per-gate blocks).
 
 The checkpoint template is built with ``jax.eval_shape`` (no env batch is
 actually materialized), so evaluating a B=4096 training checkpoint on a

