@@ -84,6 +84,17 @@ class OneHotEmbed(nn.Module):
                                  cells, n, self.features)
                   for i, n in enumerate(widths)]
             b = self.param("bias", nn.initializers.zeros, (self.features,))
+            from ..ops import embed2 as embed2_op
+            if embed2_op.available(cells, S, self.features, widths):
+                # plane-major variant (MARLGRID_TPU_EMBED_V2=1): one
+                # broadcast compare + one multi-dim-contraction dot per
+                # plane — no per-cell slicing/concat (ops/embed2.py)
+                x = obs.reshape((-1,) + obs.shape[-2:])
+                out = embed2_op.onehot_embed2(
+                    x, ws[0], ws[1], ws[2], cells,
+                    embed2_op._block_samples(S), False, widths, values)
+                out = out.reshape(lead + out.shape[1:]).astype(self.dtype)
+                return out + b.astype(self.dtype)
             if embed_op.available(cells, S, self.features, widths):
                 # fused Pallas path: one-hots built in VMEM, codes are the
                 # only HBM input (the XLA formulation materializes ~14x

@@ -71,21 +71,28 @@ def pack_weights(w0, w1, w2):
     return w.reshape(g, grp * cw, h)
 
 
-def _kernel(cells: int, bwd: bool, widths=WIDTHS, values=None):
+def _kernel(cells: int, bwd: bool, widths=WIDTHS, values=None, rb: int = 1):
     """Forward: out[r, s, :] = sum_cells W[cell, onehot(codes)].
     Backward (bwd=True): accumulate dW[g] += onehot^T-block @ dout.
 
     ``values`` (tuple of per-plane code tuples) switches the one-hot
     compare from iota to an explicit vocabulary — the compact-palette
     path; out-of-vocabulary codes match nothing (zero row), exactly the
-    one-hot semantics of an unused slot."""
+    one-hot semantics of an unused slot.
+
+    ``rb``: leading-dim rows processed PER GRID STEP. The round-5 probes
+    (H-sweep trace: kernel time flat in H; palette sweep: flat in vocab
+    width and pass count; two alternative one-hot builds measured neutral/
+    slower) localized the kernel's residual cost to per-grid-step
+    orchestration (~1 us/step x ~10k tiny steps per PPO iteration — the
+    update path runs R=1024 blocks of only 256 samples each). Folding rb
+    rows into one grid step divides the step count; the per-row work is
+    unchanged."""
     g_total = n_groups(cells, widths)
     cw, grp = sum(widths), group_size(widths)
     dn = (((0,), (0,)), ((), ()))
 
     def kernel(x_ref, w_ref, o_ref):
-        x = x_ref[0].astype(jnp.int32)              # (F, bs) codes
-        bs = x.shape[-1]
         if values is None:
             vocab = [jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
                      for n in widths]
@@ -104,41 +111,60 @@ def _kernel(cells: int, bwd: bool, widths=WIDTHS, values=None):
             @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
             def _init():
                 o_ref[...] = jnp.zeros_like(o_ref)
-        acc = None
-        for g in range(g_total):
-            # one (n_p, bs) compare per plane, sublane-concatenated into
-            # the group tile: compare work == one-hot elements
-            # (a full-width compare per plane costs 3.5x redundant VPU ops
-            # — measured slower than the XLA formulation)
-            pieces = []
-            for q in range(grp):
-                j = g * grp + q
-                if j >= cells:
-                    pieces.append(jnp.zeros((cw, bs), jnp.bfloat16))
-                    continue
-                for p, n in enumerate(widths):
-                    code = x[p * cells + j][None, :]          # (1, bs)
-                    if p == 2 and values is None:
-                        # box-packed states reach 176: clip into the state
-                        # vocab (matches the XLA path's jnp.clip)
-                        code = jnp.minimum(code, N_STATE_CODES - 1)
-                    # out-of-vocab codes match nothing (one-hot semantics)
-                    pieces.append(plane_onehot(code, p))      # (n, bs)
-            ohb = jnp.concatenate(pieces, axis=0)
-            if bwd:
-                # dW[g] += onehot @ dout : (126, bs) x (bs, H)
-                dnb = (((1,), (0,)), ((), ()))
-                o_ref[g] += jax.lax.dot_general(
-                    ohb, w_ref[0].astype(jnp.bfloat16), dnb,
-                    preferred_element_type=jnp.float32)
-            else:
-                y = jax.lax.dot_general(ohb, w_ref[g], dn,
-                                        preferred_element_type=jnp.float32)
-                acc = y if acc is None else acc + y           # (bs, H)
-        if not bwd:
-            o_ref[0] = acc
+        for r in range(rb):
+            x = x_ref[r].astype(jnp.int32)          # (F, bs) codes
+            bs = x.shape[-1]
+            acc = None
+            for g in range(g_total):
+                # one (n_p, bs) compare per plane, sublane-concatenated
+                # into the group tile: compare work == one-hot elements
+                # (a full-width compare per plane costs 3.5x redundant VPU
+                # ops — measured slower than the XLA formulation)
+                pieces = []
+                for q in range(grp):
+                    j = g * grp + q
+                    if j >= cells:
+                        pieces.append(jnp.zeros((cw, bs), jnp.bfloat16))
+                        continue
+                    for p, n in enumerate(widths):
+                        code = x[p * cells + j][None, :]      # (1, bs)
+                        if p == 2 and values is None:
+                            # box-packed states reach 176: clip into the
+                            # state vocab (matches the XLA path's clip)
+                            code = jnp.minimum(code, N_STATE_CODES - 1)
+                        # out-of-vocab codes match nothing (one-hot)
+                        pieces.append(plane_onehot(code, p))  # (n, bs)
+                ohb = jnp.concatenate(pieces, axis=0)
+                if bwd:
+                    # dW[g] += onehot @ dout : (126, bs) x (bs, H)
+                    dnb = (((1,), (0,)), ((), ()))
+                    o_ref[g] += jax.lax.dot_general(
+                        ohb, w_ref[r].astype(jnp.bfloat16), dnb,
+                        preferred_element_type=jnp.float32)
+                else:
+                    y = jax.lax.dot_general(
+                        ohb, w_ref[g], dn,
+                        preferred_element_type=jnp.float32)
+                    acc = y if acc is None else acc + y       # (bs, H)
+            if not bwd:
+                # bf16 OUTPUT, f32 accumulate: one rounding, in VMEM —
+                # identical to the former f32-out + XLA convert (the
+                # convert cost ~2.4 ms/iter of HBM roundtrip, traced r5),
+                # and the consumer (OneHotEmbed) wants bf16 anyway
+                o_ref[r] = acc.astype(jnp.bfloat16)
 
     return kernel
+
+
+def _row_block(R: int) -> int:
+    """Leading-dim rows per grid step (largest of 32/16/8/4/2 dividing R) —
+    divides the grid-step count, the kernel's measured residual cost
+    (round-5 probes: kernel time flat in H, vocab width, and pass count;
+    ~1 us x ~10k tiny grid steps per PPO iteration before this)."""
+    for rb in (32, 16, 8, 4, 2):
+        if R % rb == 0:
+            return rb
+    return 1
 
 
 @functools.partial(jax.jit,
@@ -146,21 +172,23 @@ def _kernel(cells: int, bwd: bool, widths=WIDTHS, values=None):
                                     "values"))
 def _fwd(x, w, cells: int, bs: int, interpret: bool = False,
          widths=WIDTHS, values=None):
-    """x (R, F, S) uint8, w (g, grp*cw, H) bf16 -> (R, S, H) f32."""
+    """x (R, F, S) uint8, w (g, grp*cw, H) bf16 -> (R, S, H) bf16
+    (f32 accumulate in VMEM, one rounding at the output write)."""
     R, F, S = x.shape
     g, k, H = w.shape
+    rb = _row_block(R)
     return pl.pallas_call(
-        _kernel(cells, bwd=False, widths=widths, values=values),
-        grid=(R, S // bs),
+        _kernel(cells, bwd=False, widths=widths, values=values, rb=rb),
+        grid=(R // rb, S // bs),
         in_specs=[
-            pl.BlockSpec((1, F, bs), lambda r, i: (r, 0, i),
+            pl.BlockSpec((rb, F, bs), lambda r, i: (r, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g, k, H), lambda r, i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bs, H), lambda r, i: (r, i, 0),
+        out_specs=pl.BlockSpec((rb, bs, H), lambda r, i: (r, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((R, S, H), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((R, S, H), jnp.bfloat16),
         interpret=interpret,
     )(x, w)
 
@@ -175,13 +203,14 @@ def _bwd_w(x, dout, cells: int, bs: int, interpret: bool = False,
     H = dout.shape[-1]
     g = n_groups(cells, widths)
     k = group_size(widths) * sum(widths)
+    rb = _row_block(R)
     return pl.pallas_call(
-        _kernel(cells, bwd=True, widths=widths, values=values),
-        grid=(R, S // bs),
+        _kernel(cells, bwd=True, widths=widths, values=values, rb=rb),
+        grid=(R // rb, S // bs),
         in_specs=[
-            pl.BlockSpec((1, F, bs), lambda r, i: (r, 0, i),
+            pl.BlockSpec((rb, F, bs), lambda r, i: (r, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bs, H), lambda r, i: (r, i, 0),
+            pl.BlockSpec((rb, bs, H), lambda r, i: (r, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((g, k, H), lambda r, i: (0, 0, 0),
@@ -192,7 +221,7 @@ def _bwd_w(x, dout, cells: int, bs: int, interpret: bool = False,
 
 
 def _block_samples(S: int) -> int:
-    for bs in (512, 256, 128):
+    for bs in (1024, 512, 256, 128):
         if S % bs == 0:
             return bs
     return 0

@@ -64,6 +64,8 @@ def parse_args(argv=None):
                         "the scalar flags. Heterogeneous obs configs train "
                         "one torso per config group "
                         "(parallel/ppo_hetero.py; encode obs)")
+    p.add_argument("--hidden", type=int, default=128,
+                   help="policy hidden width (PPOConfig.hidden)")
     p.add_argument("--epochs", type=int, default=2)
     p.add_argument("--minibatches", type=int, default=4)
     p.add_argument("--board-pool", type=int, default=256,
@@ -214,7 +216,7 @@ def main(argv=None):
                            else "mlp")
     cfg = ppo.PPOConfig(n_envs=args.envs, rollout_len=args.rollout,
                         lr=args.lr, torso=torso, n_epochs=args.epochs,
-                        n_minibatches=args.minibatches,
+                        n_minibatches=args.minibatches, hidden=args.hidden,
                         board_pool=args.board_pool, rnn=args.rnn,
                         bptt_window=args.bptt_window)
     if args.resume and not args.no_embed_palette:

@@ -27,6 +27,7 @@ ap.add_argument("--bptt", type=int, default=0)
 ap.add_argument("--envs", type=int, default=4096)
 ap.add_argument("--rollout", type=int, default=64)
 ap.add_argument("--epochs", type=int, default=2)
+ap.add_argument("--hidden", type=int, default=128)
 ap.add_argument("--obs", default="encode")
 ap.add_argument("--iters", type=int, default=3)
 ap.add_argument("--trace-dir", default="/tmp/ppo_trace")
@@ -39,8 +40,17 @@ ep = EnvParams(width=13, height=13, n_agents=4, scenario="goal_cycle",
                reward_decay=False, agent_colors=default_agent_colors(4))
 cfg = ppo.PPOConfig(n_envs=args.envs, rollout_len=args.rollout,
                     n_epochs=args.epochs, rnn=args.rnn,
-                    bptt_window=args.bptt,
+                    bptt_window=args.bptt, hidden=args.hidden,
                     torso="cnn_s2d" if args.obs == "image" else "mlp")
+if args.obs == "encode":
+    # match train.py's default compact-palette embed (the traced program
+    # must be the SAME program for the HLO hotspot mapping)
+    import dataclasses as _dc
+
+    from marlgrid_tpu.core import obs as _obs_mod
+    _pals = _obs_mod.encode_palettes(ep)
+    if _pals is not None:
+        cfg = _dc.replace(cfg, embed_palettes=_pals)
 mesh = make_mesh(n_model=1)
 key = jax.random.PRNGKey(0)
 if args.rnn:

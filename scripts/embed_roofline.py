@@ -27,7 +27,12 @@ from __future__ import annotations
 
 import argparse
 import functools
+import os
+import sys
 import time
+
+sys.path.insert(0, os.getcwd())   # run from the repo root (PYTHONPATH
+#                                   breaks the axon plugin registration)
 
 import jax
 import jax.numpy as jnp
@@ -82,7 +87,8 @@ def _variant_kernel(cells, widths, values, mode: str):
                         pieces.append(plane_onehot(code, p))
                 ohb = jnp.concatenate(pieces, axis=0)
             if mode == "build":
-                y = ohb.sum(axis=0)[:, None]          # (bs, 1): keep build
+                # (bs, 1) f32: keeps the build live, skips the dot
+                y = ohb.sum(axis=0).astype(jnp.float32)[:, None]
             else:
                 y = jax.lax.dot_general(ohb, w_ref[g], dn,
                                         preferred_element_type=jnp.float32)
@@ -126,11 +132,12 @@ def time_variant(xs, w, cells, bs, widths, values, mode, reps=3):
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), xs)
         return acc
 
-    run(xs, w).block_until_ready()          # compile
+    float(run(xs, w))          # compile + settle (a VALUE fetch is the
+    #                            only reliable barrier through the relay)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        run(xs, w).block_until_ready()
+        float(run(xs, w))
         best = min(best, (time.perf_counter() - t0) / K)
     return best * 1e3
 
@@ -181,25 +188,49 @@ def main():
           f"grp={E.group_size(palw)}, g={E.n_groups(49, palw)}); "
           f"full widths {FULLW} (g={E.n_groups(49, FULLW)})\n", flush=True)
 
-    print("== the in-situ shape (R=4 agents, S=4096 envs, H=128) ==")
-    for mode in ("full", "build", "gemm"):
-        bench(f"palette bs=512 mode={mode}", 4, 4096, 128, 49,
-              palw, palv, 512, mode)
-    for mode in ("full", "build", "gemm"):
-        bench(f"full-vocab bs=512 mode={mode}", 4, 4096, 128, 49,
-              FULLW, None, 512, mode)
+    # A fixed ~0.4 ms/call harness intercept (scan-step + relay mechanics)
+    # swamps small-S absolute times; the MARGINAL cost between two large S
+    # values cancels it exactly: t(S2) - t(S1) is pure per-sample kernel
+    # time. Report ns/sample and the effective TF/s of the dense-
+    # equivalent FLOPs at that marginal rate.
+    S1, S2 = 16384, 32768
 
-    print("\n== block-size sweep (palette, full mode) ==")
-    for bs in (128, 256, 512):
-        bench(f"palette bs={bs}", 4, 4096, 128, 49, palw, palv, bs)
+    def marginal(tag, H, cells, widths, values, bs, mode="full"):
+        mss = []
+        for S in (S1, S2):
+            F = 3 * cells
+            xs = jnp.asarray(rng.integers(0, 8, (args.k, 4, F, S)),
+                             jnp.uint8)
+            g = E.n_groups(cells, widths)
+            k = E.group_size(widths) * sum(widths)
+            w = jnp.asarray(rng.normal(size=(g, k, H)) * 0.05, jnp.bfloat16)
+            mss.append(time_variant(xs, w, cells, bs, widths, values,
+                                    mode, args.reps))
+        dms = mss[1] - mss[0]
+        dsamp = 4 * (S2 - S1)
+        nsps = dms * 1e6 / dsamp
+        dense_flops = 2.0 * dsamp * cells * sum(widths) * H
+        tf = dense_flops / (dms * 1e-3) / 1e12
+        print(f"{tag:40s} t({S1})={mss[0]*1e3:7.0f} us  "
+              f"t({S2})={mss[1]*1e3:7.0f} us  marginal {nsps:6.2f} "
+              f"ns/sample  {tf:7.2f} TF/s ({100*tf/(V5E_BF16_PEAK/1e12):5.1f}% MXU)",
+              flush=True)
+        return nsps
 
-    print("\n== H sweep (palette, bs=512) ==")
+    print("== mode split (marginal, H=128, bs=512) ==")
+    for mode in ("full", "build", "gemm"):
+        marginal(f"palette mode={mode}", 128, 49, palw, palv, 512, mode)
+    for mode in ("full", "build", "gemm"):
+        marginal(f"full-vocab mode={mode}", 128, 49, FULLW, None, 512,
+                 mode)
+
+    print("\n== bs sweep (palette, full mode, marginal) ==")
+    for bs in (256, 512):
+        marginal(f"palette bs={bs}", 128, 49, palw, palv, bs)
+
+    print("\n== H sweep (palette, full mode, marginal) ==")
     for H in (128, 256):
-        bench(f"palette H={H}", 4, 4096, H, 49, palw, palv, 512)
-
-    print("\n== S sweep (palette, bs=512, H=128) ==")
-    for S in (2048, 4096, 8192):
-        bench(f"palette S={S}", 4, S, 128, 49, palw, palv, 512)
+        marginal(f"palette H={H}", H, 49, palw, palv, 512)
 
 
 if __name__ == "__main__":

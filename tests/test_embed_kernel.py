@@ -40,8 +40,9 @@ def test_embed_forward_matches_xla(cells, R, S, bs):
     x = jnp.asarray(rng.integers(0, 12, size=(R, 3 * cells, S)), jnp.uint8)
     ws = _weights(cells, 128)
     out = E.onehot_embed(x, E.pack_weights(*ws), cells, bs, True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(x, ws)),
-                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(_ref(x, ws)),
+                               rtol=1e-2, atol=2e-2)
 
 
 def test_embed_state_codes_clip():
@@ -54,8 +55,9 @@ def test_embed_state_codes_clip():
     x = jnp.asarray(x)
     ws = _weights(cells, 128)
     out = E.onehot_embed(x, E.pack_weights(*ws), cells, 128, True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(x, ws)),
-                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(_ref(x, ws)),
+                               rtol=1e-2, atol=2e-2)
 
 
 def test_embed_grad_matches_xla():
@@ -78,3 +80,68 @@ def test_embed_grad_matches_xla():
         # dout is cast bf16 in the kernel's backward (standard bf16
         # training); tolerance reflects that
         assert float(jnp.abs(a - b).max()) / scale < 6e-3
+
+
+# --- round-5 plane-major variant (ops/embed2.py) -------------------------
+
+def test_embed2_forward_matches_xla():
+    from marlgrid_tpu.ops import embed2 as E2
+
+    cells, R, S, bs = 49, 2, 256, 128
+    rng = np.random.default_rng(3)
+    x = np.asarray(rng.integers(0, 12, size=(R, 3 * cells, S)), np.uint8)
+    x[:, 2 * cells:, :] = rng.integers(0, 200, size=(R, cells, S))  # clip
+    x = jnp.asarray(x)
+    ws = _weights(cells, 128)
+    out = E2.onehot_embed2(x, *ws, cells, bs, True)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(_ref(x, ws)),
+                               rtol=1e-2, atol=2e-2)
+
+
+def test_embed2_palette_and_grad_match():
+    """Compact-palette vocabularies + grad_W agreement with the XLA
+    formulation (plane-major tables need no packing, so grads flow to the
+    natural (cells, n_p, H) tables directly)."""
+    from marlgrid_tpu.ops import embed2 as E2
+
+    cells, R, S, bs, H = 25, 2, 128, 128, 128
+    widths = (4, 6, 4)
+    values = ((0, 2, 7, 10), (0, 3, 5, 6, 8, 9), (0, 1, 2, 3))
+    rng = np.random.default_rng(4)
+    # half the codes inside the vocab, some outside (must one-hot to zero)
+    x = jnp.asarray(rng.integers(0, 12, size=(R, 3 * cells, S)), jnp.uint8)
+    ws = tuple(jnp.asarray(rng.normal(size=(cells, n, H)), jnp.float32) * .1
+               for n in widths)
+
+    def ref(x, ws):
+        o = x.reshape(R, 3, cells, S).astype(jnp.int32)
+        tot = 0
+        for i, (w, vs_) in enumerate(zip(ws, values)):
+            oh = (o[:, i][..., None, :]
+                  == jnp.asarray(vs_)[:, None]).astype(jnp.bfloat16)
+            tot = tot + jax.lax.dot_general(
+                oh, w.astype(jnp.bfloat16), (((1, 2), (0, 1)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return tot
+
+    out = E2.onehot_embed2(x, *ws, cells, bs, True, widths, values)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref(x, ws)),
+                               rtol=1e-2, atol=2e-2)
+
+    def loss_k(ws):
+        y = E2.onehot_embed2(x, *ws, cells, bs, True, widths, values)
+        return (y * y).sum()
+
+    def loss_r(ws):
+        y = ref(x, ws)
+        return (y * y).sum()
+
+    gk = jax.grad(loss_k)(ws)
+    gr = jax.grad(loss_r)(ws)
+    for a, b in zip(gk, gr):
+        # bf16 cotangent rounding differs slightly between the kernel's
+        # cast point and XLA autodiff's — tolerance covers one bf16 ulp
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=5e-2)

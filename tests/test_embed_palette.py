@@ -122,7 +122,9 @@ def test_palette_kernel_matches_xla(monkeypatch):
         tot = tot + jax.lax.dot_general(
             oh, w.astype(jnp.bfloat16), (((1, 2), (0, 1)), ((), ())),
             preferred_element_type=jnp.float32)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(tot), atol=1e-5)
+    # kernel output is bf16 (one rounding of its f32 accumulate, r5)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(tot), rtol=1e-2, atol=2e-2)
 
 
 def test_train_cli_palette_roundtrip(tmp_path, capsys):
