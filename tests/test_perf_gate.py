@@ -26,20 +26,20 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # floors: ~20% under the recorded round-3 numbers (BASELINE.md)
 ENCODE_FLOOR = float(os.environ.get("MARLGRID_GATE_ENCODE", 12.8e6))
 IMAGE_FLOOR = float(os.environ.get("MARLGRID_GATE_IMAGE", 3.5e6))
-PPO_FLOOR = float(os.environ.get("MARLGRID_GATE_PPO", 2.7e6))
+PPO_FLOOR = float(os.environ.get("MARLGRID_GATE_PPO", 3.4e6))
 CNN_FLOOR = float(os.environ.get("MARLGRID_GATE_CNN", 0.22e6))
 # the DEFAULT pixels config (2 epochs) — the best-case epochs=1 floor above
 # would pass a regression confined to the multi-epoch path (VERDICT r3)
 CNN2_FLOOR = float(os.environ.get("MARLGRID_GATE_CNN2", 0.15e6))
-RNN_FLOOR = float(os.environ.get("MARLGRID_GATE_RNN", 1.6e6))
+RNN_FLOOR = float(os.environ.get("MARLGRID_GATE_RNN", 1.8e6))
 # the documented throughput configuration (--epochs 1 --envs 8192):
-# recorded 5.05M round 4
-PPO_FAST_FLOOR = float(os.environ.get("MARLGRID_GATE_PPO_FAST", 4.0e6))
-# hetero per-group torsos (--agent-config, mixed 5/7 views): 4.21M round 5
-# (feature-major rebuild; was 1.06M round 4)
-HETERO_FLOOR = float(os.environ.get("MARLGRID_GATE_HETERO", 3.4e6))
-# fused LSTM cell at the recurrent config: 2.08M round 5
-LSTM_FLOOR = float(os.environ.get("MARLGRID_GATE_LSTM", 1.6e6))
+# recorded 5.60M round 5 (embed grid-step fix)
+PPO_FAST_FLOOR = float(os.environ.get("MARLGRID_GATE_PPO_FAST", 4.5e6))
+# hetero per-group torsos (--agent-config, mixed 5/7 views): 4.55M round 5
+# (feature-major rebuild + embed grid-step fix; was 1.06M round 4)
+HETERO_FLOOR = float(os.environ.get("MARLGRID_GATE_HETERO", 3.7e6))
+# fused LSTM cell at the recurrent config: 2.21M round 5
+LSTM_FLOOR = float(os.environ.get("MARLGRID_GATE_LSTM", 1.8e6))
 
 
 def _bench(*extra):
