@@ -40,6 +40,9 @@ PPO_FAST_FLOOR = float(os.environ.get("MARLGRID_GATE_PPO_FAST", 4.5e6))
 HETERO_FLOOR = float(os.environ.get("MARLGRID_GATE_HETERO", 3.7e6))
 # fused LSTM cell at the recurrent config: 2.21M round 5
 LSTM_FLOOR = float(os.environ.get("MARLGRID_GATE_LSTM", 1.8e6))
+# goal-cycle encode bench (BASELINE ladder row 5 — the PPO substrate):
+# 12.8M round 5
+GC_FLOOR = float(os.environ.get("MARLGRID_GATE_GC", 10.5e6))
 
 
 def _bench(*extra):
@@ -63,6 +66,15 @@ def test_encode_throughput_floor():
 def test_image_throughput_floor():
     v = _bench("--envs", "4096", "--steps", "64", "--obs", "image")
     assert v >= IMAGE_FLOOR, f"image {v:,.0f} < floor {IMAGE_FLOOR:,.0f}"
+
+
+def test_goal_cycle_encode_throughput_floor():
+    """BASELINE ladder row 5 (ClutteredGoalCycleEnv 13x13 / 4 agents /
+    3 bonus tiles) — the raw-env substrate the PPO rows build on; gated
+    since round 5 so the ladder's numbers stay live (VERDICT r4 weak #6)."""
+    v = _bench("--scenario", "goal_cycle", "--grid-size", "13",
+               "--agents", "4", "--envs", "16384", "--steps", "64")
+    assert v >= GC_FLOOR, f"goal_cycle {v:,.0f} < floor {GC_FLOOR:,.0f}"
 
 
 def test_ppo_throughput_floor():
