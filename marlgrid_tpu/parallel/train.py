@@ -259,12 +259,17 @@ def main(argv=None):
     if hetero:
         from . import ppo_hetero
 
-        if args.rnn or args.overlap or args.shard_map:
+        if args.overlap or args.shard_map:
             raise SystemExit("heterogeneous agent configs train on the "
-                             "feedforward GSPMD path (no --rnn/--overlap/"
-                             "--shard-map)")
-        net, params, tx, opt_state = ppo_hetero.init_state_hetero(
-            ep, cfg, key)
+                             "GSPMD path (no --overlap/--shard-map)")
+        if args.rnn:
+            from . import ppo_hetero_rnn
+
+            net, params, tx, opt_state, h = \
+                ppo_hetero_rnn.init_state_hetero_rnn(ep, cfg, key)
+        else:
+            net, params, tx, opt_state = ppo_hetero.init_state_hetero(
+                ep, cfg, key)
     elif cfg.rnn:
         from . import ppo_rnn
 
@@ -327,7 +332,14 @@ def main(argv=None):
 
     spc = max(1, args.steps_per_call)
     prev = None
-    if hetero:
+    if hetero and args.rnn:
+        from . import ppo_hetero_rnn, ppo_rnn
+
+        make = lambda jit: ppo_hetero_rnn.make_train_step_hetero_rnn(  # noqa: E731
+            ep, cfg, net, tx, mesh=mesh, jit=jit)
+        step = (ppo_rnn.multi_step_rnn(make(False), spc) if spc > 1
+                else make(True))
+    elif hetero:
         from . import ppo_hetero
 
         make = lambda jit: ppo_hetero.make_train_step_hetero(  # noqa: E731
