@@ -43,6 +43,8 @@ LSTM_FLOOR = float(os.environ.get("MARLGRID_GATE_LSTM", 1.8e6))
 # goal-cycle encode bench (BASELINE ladder row 5 — the PPO substrate):
 # 12.8M round 5
 GC_FLOOR = float(os.environ.get("MARLGRID_GATE_GC", 10.5e6))
+# hetero recurrent (--agent-config + --rnn, mixed 5/7): 2.38M round 5
+HETERO_RNN_FLOOR = float(os.environ.get("MARLGRID_GATE_HETERO_RNN", 1.9e6))
 
 
 def _bench(*extra):
@@ -166,6 +168,28 @@ def test_hetero_ppo_throughput_floor():
     v = rows[-1]["env_steps_per_s"]
     assert v >= HETERO_FLOOR, \
         f"hetero ppo {v:,.0f} < floor {HETERO_FLOOR:,.0f}"
+
+
+def test_hetero_rnn_ppo_throughput_floor():
+    """Hetero RECURRENT PPO (--agent-config + --rnn gru; round 5):
+    recorded 2.38-2.40M (both cells) at the recurrent config."""
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    out = subprocess.run(
+        [sys.executable, "-m", "marlgrid_tpu.parallel.train",
+         "--scenario", "goal_cycle", "--grid-size", "13",
+         "--rnn", "gru", "--agent-config",
+         '[{"view_size":7},{"view_size":5},{"view_size":7},'
+         '{"view_size":5}]',
+         "--envs", "4096", "--rollout", "64", "--iters", "24",
+         "--steps-per-call", "8", "--log-every", "2"],
+        capture_output=True, text=True, timeout=3000, env=env, cwd=REPO)
+    assert out.returncode == 0, out.stdout + out.stderr
+    rows = [json.loads(ln) for ln in out.stdout.splitlines()
+            if ln.startswith("{")]
+    v = rows[-1]["env_steps_per_s"]
+    assert v >= HETERO_RNN_FLOOR, \
+        f"hetero rnn ppo {v:,.0f} < floor {HETERO_RNN_FLOOR:,.0f}"
 
 
 def test_cnn_ppo_throughput_floor():
