@@ -624,7 +624,8 @@ def all_obs_encode_b(params: EnvParams, bstate: EnvState, bminor=False,
 
 def all_obs_image_b(params: EnvParams, bstate: EnvState, base_lut, agent_lut,
                     force_xla: bool = False, sprite_interpret: bool = False,
-                    bminor: bool = False, s2d: bool = False):
+                    bminor: bool = False, s2d: bool = False,
+                    observers=None, packed=None):
     """Batched 'image' obs: (B, N, vs*T, vs*T, 3) uint8.
 
     Fast path: the Pallas sprite-composite kernel (ops/sprite.py) — compact
@@ -634,11 +635,19 @@ def all_obs_image_b(params: EnvParams, bstate: EnvState, base_lut, agent_lut,
     the SHARED full-LUT RHS — one (B*N*vs*vs, n_appear) x (n_appear,
     T*T*ch) matmul instead of B vmapped 298-row ones (§all_obs_image). Both
     paths are bit-identical (tested).
+
+    ``observers``/``packed``: see :func:`all_view_cells_b` — the hetero
+    per-group path renders each group's own observers (N = len(observers))
+    against one shared painted board. A shared ``packed`` board must be
+    painted ``with_lvl=True`` (the image path reads the prestige level from
+    the high bits; the encode path ignores them, so one with_lvl board
+    serves mixed-style groups).
     """
-    N, vs, T = params.n_agents, params.view_size, params.view_tile_size
+    vs, T = params.view_size, params.view_tile_size
+    N = params.n_agents if observers is None else len(observers)
     B = bstate.grid_type.shape[0]
     vt, vc, vst, any_agent, acolor, reldir, alvl = all_view_cells_b(
-        params, bstate, with_dim=True)
+        params, bstate, with_dim=True, observers=observers, packed=packed)
     base_id = base_appearance(*apply_hidden(params, vt, vc, vst))
     agent_id = jnp.where(any_agent, 1 + acolor * 4 + reldir, 0)
     if not params.see_through_walls:

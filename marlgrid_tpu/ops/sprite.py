@@ -290,7 +290,10 @@ def compose_image_b(params, base_id, agent_id, alvl, interpret=False,
     (kernel row order is (n, b)), skipping the final leading-dim swap —
     use on hot paths that fold (N, B) into one batch dim anyway.
     """
-    vs, T, N = params.view_size, params.view_tile_size, params.n_agents
+    vs, T = params.view_size, params.view_tile_size
+    # N from the ids, not params.n_agents: hetero observer-subset renders
+    # pass (n_g, vs, vs, B) ids for a group of n_g observers
+    N = base_id.shape[0]
     B = base_id.shape[-1]
     pal = base_palette(params)
     colors = agent_color_slots(params)

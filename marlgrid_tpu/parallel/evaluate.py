@@ -175,11 +175,21 @@ def restore_policy(args, ep: EnvParams, cfg: ppo.PPOConfig):
         net, params, tx, opt_state, h = \
             ppo_hetero_rnn.init_state_hetero_rnn(ep, cfg, key)
     elif ep.has_hetero_obs:
-        from . import ppo_hetero
+        from ..vector import obs_groups as _obs_groups
 
-        # hetero checkpoints: ``net``/``params`` are per-obs-group LISTS
-        net, params, tx, opt_state = ppo_hetero.init_state_hetero(
-            ep, cfg, key)
+        # hetero checkpoints: ``net``/``params`` are per-obs-group LISTS;
+        # mixed-style populations restore the style-appropriate nets
+        if any(gp.observation_style != "encode"
+               for _, gp in _obs_groups(ep)):
+            from . import ppo_hetero_mixed
+
+            net, params, tx, opt_state = \
+                ppo_hetero_mixed.init_state_hetero_mixed(ep, cfg, key)
+        else:
+            from . import ppo_hetero
+
+            net, params, tx, opt_state = ppo_hetero.init_state_hetero(
+                ep, cfg, key)
         h = None
     elif cfg.rnn:
         from . import ppo_rnn
@@ -268,26 +278,68 @@ def main(argv=None):
 
         groups = _obs_groups(ep)
 
+        from . import ppo_hetero_mixed
+
+        g_styles = [gp.observation_style for _, gp in groups]
+        g_torsos = [ppo_hetero_mixed.group_cfg(cfg, gp).torso
+                    if gp.observation_style != "encode" else "mlp"
+                    for _, gp in groups]
+
         @jax.jit
         def policy_hetero(params_list, group_obs, h, key):
             acts = jnp.zeros((ep.n_agents,), jnp.int32)
             h_new = {} if h is not None else None
             for g, (idxs, _) in enumerate(groups):
+                obs_g, aux_g = group_obs[g]
+                kw = {} if aux_g is None else dict(aux=aux_g)
                 if h is None:
-                    logits, _v = net[g].apply(params_list[g], group_obs[g])
+                    logits, _v = net[g].apply(params_list[g], obs_g, **kw)
                 else:
                     logits, _v, h_new[g] = net[g].apply(
-                        params_list[g], group_obs[g], h[g])
+                        params_list[g], obs_g, h[g], **kw)
                 a = (jax.random.categorical(jax.random.fold_in(key, g),
                                             logits)
                      if args.sample else jnp.argmax(logits, axis=-1))
                 acts = acts.at[jnp.asarray(idxs)].set(a)
             return acts, h_new
 
+        def s2d_relabel(pov):
+            n, hh, ww, ch = pov.shape
+            return pov.reshape(n, hh // 4, 4, ww // 4, 4, ch) \
+                .transpose(0, 1, 3, 2, 4, 5).reshape(n, hh // 4, ww // 4,
+                                                     16 * ch)
+
+        def group_host_obs(g, obs_list):
+            """(pov/codes batch, aux or None) for group g from the host
+            wrapper's per-agent obs list (styles differ per group)."""
+            idxs, gp = groups[g]
+            entries = [obs_list[i] for i in idxs]
+            if g_styles[g] == "rich":
+                pov = np.stack([o["pov"] for o in entries])
+                rows = []
+                for o in entries:
+                    r = []
+                    if "reward" in o:
+                        r.append(o["reward"])
+                    if "position" in o:
+                        r += [o["position"][0] / max(ep.width - 1, 1),
+                              o["position"][1] / max(ep.height - 1, 1)]
+                    if "orientation" in o:
+                        r += [1.0 if d == o["orientation"] else 0.0
+                              for d in range(4)]
+                    rows.append(r)
+                aux = (jnp.asarray(np.asarray(rows, np.float32))
+                       if rows and rows[0] else None)
+            else:
+                pov = np.stack(entries)
+                aux = None
+            if g_torsos[g] == "cnn_s2d":
+                pov = s2d_relabel(pov)
+            return jnp.asarray(pov), aux
+
         def act(obs_list, h, ak):
-            group_obs = tuple(
-                jnp.asarray(np.stack([obs_list[i] for i in idxs]))
-                for idxs, _ in groups)
+            group_obs = tuple(group_host_obs(g, obs_list)
+                              for g in range(len(groups)))
             return policy_hetero(params, group_obs, h, ak)
     else:
         def act(obs_list, h, ak):

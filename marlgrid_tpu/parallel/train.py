@@ -257,17 +257,33 @@ def main(argv=None):
     h = None
     hetero = ep.has_hetero_obs
     if hetero:
-        from . import ppo_hetero
+        from ..vector import obs_groups
 
         if args.overlap or args.shard_map:
             raise SystemExit("heterogeneous agent configs train on the "
                              "GSPMD path (no --overlap/--shard-map)")
+        # mixed STYLES (some group trains on pixels) take the
+        # EnvState-store path; all-encode keeps the finer-grained
+        # feature-major fast path (ppo_hetero.py)
+        hetero_mixed = any(gp.observation_style != "encode"
+                           for _, gp in obs_groups(ep))
+        if args.rnn and hetero_mixed:
+            raise SystemExit("hetero recurrent training is encode-only "
+                             "(ppo_hetero_rnn.py); mixed-style groups "
+                             "train feedforward (drop --rnn)")
         if args.rnn:
             from . import ppo_hetero_rnn
 
             net, params, tx, opt_state, h = \
                 ppo_hetero_rnn.init_state_hetero_rnn(ep, cfg, key)
+        elif hetero_mixed:
+            from . import ppo_hetero_mixed
+
+            net, params, tx, opt_state = \
+                ppo_hetero_mixed.init_state_hetero_mixed(ep, cfg, key)
         else:
+            from . import ppo_hetero
+
             net, params, tx, opt_state = ppo_hetero.init_state_hetero(
                 ep, cfg, key)
     elif cfg.rnn:
@@ -339,6 +355,12 @@ def main(argv=None):
             ep, cfg, net, tx, mesh=mesh, jit=jit)
         step = (ppo_rnn.multi_step_rnn(make(False), spc) if spc > 1
                 else make(True))
+    elif hetero and hetero_mixed:
+        from . import ppo_hetero_mixed
+
+        make = lambda jit: ppo_hetero_mixed.make_train_step_hetero_mixed(  # noqa: E731
+            ep, cfg, net, tx, mesh=mesh, jit=jit)
+        step = ppo.multi_step(make(False), spc) if spc > 1 else make(True)
     elif hetero:
         from . import ppo_hetero
 

@@ -265,3 +265,50 @@ def test_observer_subset_render_parity():
             # and it is exactly what VectorEnv's hetero obs now returns
             np.testing.assert_array_equal(np.asarray(obs[g]),
                                           np.asarray(sub))
+
+
+def test_observer_subset_image_render_parity():
+    """Image analog of the observer-subset parity (round 5, mixed-style
+    hetero training): ``all_obs_image_b(observers=…)`` equals slicing the
+    full-N render, and a with_lvl-painted shared board serves BOTH styles
+    (the encode path ignores the prestige-level bits)."""
+    import jax
+    import numpy as np
+
+    from marlgrid_tpu import rendering
+    from marlgrid_tpu.core import obs as obs_mod
+    from marlgrid_tpu.vector import VectorEnv, obs_groups
+
+    ep = EnvParams(width=11, height=11, n_agents=3, scenario="cluttered",
+                   n_clutter=8, max_steps=50, view_size=5,
+                   view_tile_size=4, observation_style="image",
+                   agent_view_sizes=(5, 7, 5),
+                   agent_colors=default_agent_colors(3))
+    env = VectorEnv(ep, n_envs=8)
+    state, _ = env.reset(jax.random.PRNGKey(5))
+    key = jax.random.PRNGKey(11)
+    for t in range(4):
+        key, ak = jax.random.split(key)
+        acts = jax.random.randint(ak, (8, 3), 0, 7)
+        state, _, _, _, _ = env.step(state, acts)
+        packed = obs_mod.pack_grid_with_agents(ep, state, with_lvl=True)
+        for g, (idxs, gp) in enumerate(obs_groups(ep)):
+            luts = (jax.numpy.asarray(rendering.base_lut(gp.view_tile_size)),
+                    jax.numpy.asarray(rendering.agent_lut(gp.view_tile_size)))
+            full = obs_mod.all_obs_image_b(gp, state, *luts)
+            sub = obs_mod.all_obs_image_b(gp, state, *luts,
+                                          observers=idxs, packed=packed)
+            np.testing.assert_array_equal(
+                np.asarray(sub), np.asarray(full[:, np.asarray(idxs)]),
+                err_msg=f"t={t} group={g}")
+        # the with_lvl board is transparent to the encode path: mixed-style
+        # groups can share ONE painted board
+        gp_e = obs_groups(ep)[0][1].replace(observation_style="encode")
+        idxs0 = obs_groups(ep)[0][0]
+        enc_full = obs_mod.all_obs_encode_b(gp_e, state)
+        enc_sub = obs_mod.all_obs_encode_b(gp_e, state, observers=idxs0,
+                                           packed=packed)
+        np.testing.assert_array_equal(
+            np.asarray(enc_sub),
+            np.asarray(enc_full[:, np.asarray(idxs0)]),
+            err_msg=f"t={t} encode-on-lvl-board")
