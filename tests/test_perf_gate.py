@@ -45,6 +45,9 @@ LSTM_FLOOR = float(os.environ.get("MARLGRID_GATE_LSTM", 1.8e6))
 GC_FLOOR = float(os.environ.get("MARLGRID_GATE_GC", 10.5e6))
 # hetero recurrent (--agent-config + --rnn, mixed 5/7): 2.38M round 5
 HETERO_RNN_FLOOR = float(os.environ.get("MARLGRID_GATE_HETERO_RNN", 1.9e6))
+# mixed-STYLE hetero (2 encode + 2 image groups): 274k round 5
+HETERO_MIXED_FLOOR = float(
+    os.environ.get("MARLGRID_GATE_HETERO_MIXED", 0.22e6))
 
 
 def _bench(*extra):
@@ -168,6 +171,28 @@ def test_hetero_ppo_throughput_floor():
     v = rows[-1]["env_steps_per_s"]
     assert v >= HETERO_FLOOR, \
         f"hetero ppo {v:,.0f} < floor {HETERO_FLOOR:,.0f}"
+
+
+def test_hetero_mixed_ppo_throughput_floor():
+    """Mixed-STYLE hetero PPO (encode + image groups; round 5):
+    recorded 274k at 2 encode + 2 image agents, B=4096, T=32."""
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    out = subprocess.run(
+        [sys.executable, "-m", "marlgrid_tpu.parallel.train",
+         "--scenario", "goal_cycle", "--grid-size", "13",
+         "--agent-config",
+         '[{"view_size":7},{"view_size":7,"observation_style":"image"},'
+         '{"view_size":7},{"view_size":7,"observation_style":"image"}]',
+         "--envs", "4096", "--rollout", "32", "--iters", "24",
+         "--steps-per-call", "8", "--log-every", "2"],
+        capture_output=True, text=True, timeout=3000, env=env, cwd=REPO)
+    assert out.returncode == 0, out.stdout + out.stderr
+    rows = [json.loads(ln) for ln in out.stdout.splitlines()
+            if ln.startswith("{")]
+    v = rows[-1]["env_steps_per_s"]
+    assert v >= HETERO_MIXED_FLOOR, \
+        f"hetero mixed ppo {v:,.0f} < floor {HETERO_MIXED_FLOOR:,.0f}"
 
 
 def test_hetero_rnn_ppo_throughput_floor():
