@@ -67,17 +67,25 @@ def test_mixed_alignment_lr0():
     assert float(m["ratio_dev"]) < 1e-4, float(m["ratio_dev"])
 
 
-def test_mixed_rich_group_trains():
+def test_mixed_rich_group_trains_and_aligns():
+    """A rich group's update re-renders pov AND recomputes the observe_*
+    aux from the stored PRE-step states — at lr=0 both must reproduce the
+    rollout log-probs exactly (the aux rides the same stored state the
+    rollout obs came from)."""
     ep = EP.replace(agent_obs_styles=("rich", "image", "encode"),
                     observe_rewards=True, observe_orientation=True)
-    cfg = _cfg()
+    cfg = _cfg(lr=0.0)
     key = jax.random.PRNGKey(2)
     nets, params, tx, opt_state = ppo_hetero_mixed.init_state_hetero_mixed(
         ep, cfg, key)
     env_state = init_env_batch(ep, cfg.n_envs, jax.random.fold_in(key, 1))
     step = ppo_hetero_mixed.make_train_step_hetero_mixed(ep, cfg, nets, tx)
+    # second step starts from mid-episode state (nonzero last_reward aux)
+    params, opt_state, env_state, key, m = step(params, opt_state,
+                                                env_state, key)
     _, _, _, _, m = step(params, opt_state, env_state, key)
     assert np.isfinite(float(m["loss"]))
+    assert float(m["ratio_dev"]) < 1e-4, float(m["ratio_dev"])
 
 
 def test_mixed_rejects_rnn():
