@@ -167,3 +167,56 @@ def test_s2d_layout_matches_permuted_image():
         ref = np.asarray(std).reshape(B, 2, side, 4, side, 4, 3) \
             .transpose(0, 1, 2, 4, 3, 5, 6).reshape(B, 2, side, side, 48)
         np.testing.assert_array_equal(np.asarray(s2d), ref)
+
+
+def test_sprite_kernel_observer_subset_parity_tpu():
+    """OPT-IN on real TPU (MARLGRID_TPU_GATE=1): the Pallas sprite path
+    with ``observers=`` (N from the id shapes, round 5 mixed-style hetero)
+    is bit-exact vs slicing the full-N kernel render. The CPU suite covers
+    the XLA fallback (tests/test_hetero_obs.py); this covers the kernel."""
+    import os
+    import subprocess
+    import sys
+
+    if not os.environ.get("MARLGRID_TPU_GATE"):
+        import pytest
+
+        pytest.skip("TPU-only: set MARLGRID_TPU_GATE=1 on a TPU host")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    code = r"""
+import jax, jax.numpy as jnp, numpy as np
+from marlgrid_tpu.core.state import EnvParams, default_agent_colors
+from marlgrid_tpu.core import obs as obs_mod, step as step_mod
+from marlgrid_tpu.parallel.ppo import init_env_batch
+from marlgrid_tpu import rendering
+from marlgrid_tpu.vector import obs_groups
+from marlgrid_tpu.ops import sprite
+
+ep = EnvParams(width=13, height=13, n_agents=4, scenario="goal_cycle",
+               n_bonus_tiles=3, max_steps=50, view_size=7,
+               observation_style="image", agent_view_sizes=(7, 5, 7, 5),
+               agent_colors=default_agent_colors(4))
+state = init_env_batch(ep, 256, jax.random.PRNGKey(0))
+key = jax.random.PRNGKey(1)
+for t in range(5):
+    key, ak = jax.random.split(key)
+    acts = jax.random.randint(ak, (256, 4), 0, 7)
+    state, _, _, _ = step_mod.step_autoreset_with_fresh_batch(
+        ep, state, acts, step_mod.fresh_pool_tiled(ep, key, 1, 256), salt=t)
+packed = obs_mod.pack_grid_with_agents(ep, state, with_lvl=True)
+for g, (idxs, gp) in enumerate(obs_groups(ep)):
+    luts = (jnp.asarray(rendering.base_lut(gp.view_tile_size)),
+            jnp.asarray(rendering.agent_lut(gp.view_tile_size)))
+    assert sprite.available(gp, 256), "kernel path not active"
+    full = obs_mod.all_obs_image_b(gp, state, *luts)
+    sub = obs_mod.all_obs_image_b(gp, state, *luts, observers=idxs,
+                                  packed=packed)
+    np.testing.assert_array_equal(
+        np.asarray(sub), np.asarray(full[:, np.asarray(idxs)]))
+print("OK")
+"""
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0 and "OK" in out.stdout, \
+        out.stdout + out.stderr
