@@ -222,6 +222,39 @@ def restore_policy(args, ep: EnvParams, cfg: ppo.PPOConfig):
     return net, restored["params"], h0
 
 
+def style_obs_batch(entries, ep, style, torso):
+    """Host per-agent obs entries (one obs style) -> (pov/codes batch,
+    aux or None), with the cnn_s2d torso's space-to-depth relabeling
+    applied host-side (the host wrapper emits standard-layout images).
+    Shared by the homogeneous and per-group hetero eval paths so the
+    feature order / layout cannot diverge between them."""
+    if style == "rich":
+        pov = np.stack([o["pov"] for o in entries])
+        rows = []
+        for o in entries:
+            r = []
+            if "reward" in o:
+                r.append(o["reward"])
+            if "position" in o:
+                r += [o["position"][0] / max(ep.width - 1, 1),
+                      o["position"][1] / max(ep.height - 1, 1)]
+            if "orientation" in o:
+                r += [1.0 if d == o["orientation"] else 0.0
+                      for d in range(4)]
+            rows.append(r)
+        aux = (jnp.asarray(np.asarray(rows, np.float32))
+               if rows and rows[0] else None)
+    else:
+        pov = np.stack(entries)
+        aux = None
+    if torso == "cnn_s2d":
+        n, hh, ww, c = pov.shape
+        pov = pov.reshape(n, hh // 4, 4, ww // 4, 4, c) \
+            .transpose(0, 1, 3, 2, 4, 5).reshape(n, hh // 4, ww // 4,
+                                                 16 * c)
+    return jnp.asarray(pov), aux
+
+
 def main(argv=None):
     args = parse_args(argv)
     ep, cfg = resolve_config(args)
@@ -232,34 +265,7 @@ def main(argv=None):
     rec = GridRecorder(env, tile_size=args.tile_size) if args.out else env
 
     def obs_batch(obs_list):
-        """Host per-agent obs list -> (pov batch, aux or None), with the
-        cnn_s2d torso's space-to-depth relabeling applied host-side (the
-        host wrapper emits standard-layout images)."""
-        if args.obs == "rich":
-            pov = np.stack([o["pov"] for o in obs_list])
-            rows = []
-            for i, o in enumerate(obs_list):
-                r = []
-                if "reward" in o:
-                    r.append(o["reward"])
-                if "position" in o:
-                    r += [o["position"][0] / max(ep.width - 1, 1),
-                          o["position"][1] / max(ep.height - 1, 1)]
-                if "orientation" in o:
-                    r += [1.0 if d == o["orientation"] else 0.0
-                          for d in range(4)]
-                rows.append(r)
-            aux = (jnp.asarray(np.asarray(rows, np.float32))
-                   if rows and rows[0] else None)
-        else:
-            pov = np.stack(obs_list)
-            aux = None
-        if torso == "cnn_s2d":
-            n, hh, ww, c = pov.shape
-            pov = pov.reshape(n, hh // 4, 4, ww // 4, 4, c) \
-                .transpose(0, 1, 3, 2, 4, 5).reshape(n, hh // 4, ww // 4,
-                                                     16 * c)
-        return jnp.asarray(pov), aux
+        return style_obs_batch(obs_list, ep, args.obs, torso)
 
     @jax.jit
     def policy(params, obs, aux, h, key):
@@ -303,43 +309,13 @@ def main(argv=None):
                 acts = acts.at[jnp.asarray(idxs)].set(a)
             return acts, h_new
 
-        def s2d_relabel(pov):
-            n, hh, ww, ch = pov.shape
-            return pov.reshape(n, hh // 4, 4, ww // 4, 4, ch) \
-                .transpose(0, 1, 3, 2, 4, 5).reshape(n, hh // 4, ww // 4,
-                                                     16 * ch)
-
-        def group_host_obs(g, obs_list):
-            """(pov/codes batch, aux or None) for group g from the host
-            wrapper's per-agent obs list (styles differ per group)."""
-            idxs, gp = groups[g]
-            entries = [obs_list[i] for i in idxs]
-            if g_styles[g] == "rich":
-                pov = np.stack([o["pov"] for o in entries])
-                rows = []
-                for o in entries:
-                    r = []
-                    if "reward" in o:
-                        r.append(o["reward"])
-                    if "position" in o:
-                        r += [o["position"][0] / max(ep.width - 1, 1),
-                              o["position"][1] / max(ep.height - 1, 1)]
-                    if "orientation" in o:
-                        r += [1.0 if d == o["orientation"] else 0.0
-                              for d in range(4)]
-                    rows.append(r)
-                aux = (jnp.asarray(np.asarray(rows, np.float32))
-                       if rows and rows[0] else None)
-            else:
-                pov = np.stack(entries)
-                aux = None
-            if g_torsos[g] == "cnn_s2d":
-                pov = s2d_relabel(pov)
-            return jnp.asarray(pov), aux
-
         def act(obs_list, h, ak):
-            group_obs = tuple(group_host_obs(g, obs_list)
-                              for g in range(len(groups)))
+            # per-group batches through the SAME style transform as the
+            # homogeneous path (style_obs_batch): s2d relabel + rich aux
+            group_obs = tuple(
+                style_obs_batch([obs_list[i] for i in idxs], ep,
+                                g_styles[g], g_torsos[g])
+                for g, (idxs, _) in enumerate(groups))
             return policy_hetero(params, group_obs, h, ak)
     else:
         def act(obs_list, h, ak):

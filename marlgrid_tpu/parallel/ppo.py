@@ -122,6 +122,28 @@ def aux_dim(env_params: EnvParams) -> int:
             + 4 * int(env_params.observe_orientation))
 
 
+def episode_metrics(metrics, traj, axis=None):
+    """Fold the rollout's per-step episode-completion tallies into mean
+    return / length / cycle metrics (weighted by completed episodes;
+    psum'd over ``axis`` under shard_map). Shared by every train-step
+    family — one definition so a weighting fix cannot skew one family."""
+    n_eps = traj["done"].astype(jnp.float32).sum()
+    ep_ret = traj["ep_ret"].sum()
+    ep_len = traj["ep_len"].astype(jnp.float32).sum()
+    ep_cyc = traj["ep_cyc"].astype(jnp.float32).sum()
+    if axis is not None:
+        n_eps, ep_ret, ep_len, ep_cyc = (
+            jax.lax.psum(v, axis) for v in (n_eps, ep_ret, ep_len, ep_cyc))
+    metrics["episode_return"] = jnp.where(
+        n_eps > 0, ep_ret / jnp.maximum(n_eps, 1), 0.0)
+    metrics["episode_length"] = jnp.where(
+        n_eps > 0, ep_len / jnp.maximum(n_eps, 1), 0.0)
+    metrics["episode_cycles"] = jnp.where(
+        n_eps > 0, ep_cyc / jnp.maximum(n_eps, 1), 0.0)
+    metrics["n_episodes"] = n_eps
+    return metrics
+
+
 def rich_aux(env_params: EnvParams, state):
     """(…, N, d) f32 observe_* features from a batch-leading state — the
     'rich' dict's non-pov fields (SURVEY §3.4), learner-normalized
@@ -541,22 +563,7 @@ def make_train_step(env_params: EnvParams, cfg: PPOConfig, net,
         return params, opt_state, metrics
 
     def ep_metrics(metrics, traj):
-        n_eps = traj["done"].astype(jnp.float32).sum()
-        ep_ret = traj["ep_ret"].sum()
-        ep_len = traj["ep_len"].astype(jnp.float32).sum()
-        ep_cyc = traj["ep_cyc"].astype(jnp.float32).sum()
-        if axis is not None:
-            n_eps, ep_ret, ep_len, ep_cyc = (
-                jax.lax.psum(v, axis) for v in (n_eps, ep_ret, ep_len,
-                                                ep_cyc))
-        metrics["episode_return"] = jnp.where(
-            n_eps > 0, ep_ret / jnp.maximum(n_eps, 1), 0.0)
-        metrics["episode_length"] = jnp.where(
-            n_eps > 0, ep_len / jnp.maximum(n_eps, 1), 0.0)
-        metrics["episode_cycles"] = jnp.where(
-            n_eps > 0, ep_cyc / jnp.maximum(n_eps, 1), 0.0)
-        metrics["n_episodes"] = n_eps
-        return metrics
+        return episode_metrics(metrics, traj, axis)
 
     def train_step(params, opt_state, env_state, key):
         env_state, key, traj, last_value = rollout(params, env_state, key)

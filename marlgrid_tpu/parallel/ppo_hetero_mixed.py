@@ -48,7 +48,7 @@ from ..core import obs as obs_mod, step as step_mod
 from ..core.state import EnvParams
 from ..models import ActorCritic
 from ..vector import obs_groups
-from .ppo import PPOConfig, _gae, aux_dim, rich_aux
+from .ppo import PPOConfig, _gae, aux_dim, episode_metrics, rich_aux
 
 
 def mixed_groups(env_params: EnvParams):
@@ -359,17 +359,7 @@ def make_train_step_hetero_mixed(env_params: EnvParams, cfg: PPOConfig,
         return params_list, opt_state, metrics
 
     def ep_metrics(metrics, traj):
-        n_eps = traj["done"].astype(jnp.float32).sum()
-        metrics["episode_return"] = jnp.where(
-            n_eps > 0, traj["ep_ret"].sum() / jnp.maximum(n_eps, 1), 0.0)
-        metrics["episode_length"] = jnp.where(
-            n_eps > 0, traj["ep_len"].astype(jnp.float32).sum()
-            / jnp.maximum(n_eps, 1), 0.0)
-        metrics["episode_cycles"] = jnp.where(
-            n_eps > 0, traj["ep_cyc"].astype(jnp.float32).sum()
-            / jnp.maximum(n_eps, 1), 0.0)
-        metrics["n_episodes"] = n_eps
-        return metrics
+        return episode_metrics(metrics, traj)
 
     def train_step(params_list, opt_state, env_state, key):
         env_state, key, traj, last_value = rollout(params_list, env_state,

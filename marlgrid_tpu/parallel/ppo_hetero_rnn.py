@@ -28,7 +28,7 @@ recurrent machinery (ppo_rnn.py):
   gradients flow the whole T horizon). Per-group torso embeds and heads run
   batched over all T timesteps outside the cell scan, identical math to the
   rollout's per-step apply, so the lr=0 row-alignment invariant holds
-  (tests/test_hetero_rnn.py).
+  (tests/test_ppo_hetero_rnn.py).
 
 Scope: 'encode' obs groups on the mlp feature-major path (the hetero
 training surface — mixed view sizes/offsets/visibility flags); truncated
@@ -45,7 +45,8 @@ from jax.sharding import PartitionSpec as P
 from ..core import obs as obs_mod, step as step_mod
 from ..core.state import EnvParams
 from ..models import RecurrentActorCritic
-from .ppo import PPOConfig, _gae
+from .ppo import PPOConfig, _gae, episode_metrics
+from . import ppo_rnn as ppo_rnn_mod
 from .ppo_hetero import hetero_groups
 
 
@@ -122,12 +123,8 @@ def make_train_step_hetero_rnn(env_params: EnvParams, cfg: PPOConfig,
         return jnp.concatenate([parts[g] for g in range(nG)], 0)[_inv]
 
     def mask_carry(h, done):
-        """Zero the carries of envs whose episode just ended (done is
-        shared per env, SURVEY §3.3). Works on rollout carries
-        (n_g, B, H) and update carries (mb, n_g, c, H) alike."""
-        keep = (~done).astype(cfg.dtype)
-        return jax.tree.map(lambda x: x * keep[..., None, :, None]
-                            if x.ndim == 4 else x * keep[None, :, None], h)
+        # rollout carries (n_g, B, H) / update carries (mb, n_g, c, H)
+        return ppo_rnn_mod.mask_carry_env1(h, done, cfg.dtype)
 
     K = max(k for k in range(1, min(cfg.board_pool, B) + 1) if B % k == 0)
 
@@ -313,17 +310,7 @@ def make_train_step_hetero_rnn(env_params: EnvParams, cfg: PPOConfig,
         return params_list, opt_state, metrics
 
     def ep_metrics(metrics, traj):
-        n_eps = traj["done"].astype(jnp.float32).sum()
-        metrics["episode_return"] = jnp.where(
-            n_eps > 0, traj["ep_ret"].sum() / jnp.maximum(n_eps, 1), 0.0)
-        metrics["episode_length"] = jnp.where(
-            n_eps > 0, traj["ep_len"].astype(jnp.float32).sum()
-            / jnp.maximum(n_eps, 1), 0.0)
-        metrics["episode_cycles"] = jnp.where(
-            n_eps > 0, traj["ep_cyc"].astype(jnp.float32).sum()
-            / jnp.maximum(n_eps, 1), 0.0)
-        metrics["n_episodes"] = n_eps
-        return metrics
+        return episode_metrics(metrics, traj)
 
     def train_step(params_list, opt_state, env_state, h, key):
         env_state, h, key, traj, h0, last_value = rollout(

@@ -59,8 +59,19 @@ from jax.sharding import PartitionSpec as P
 from ..core import obs as obs_mod, step as step_mod
 from ..core.state import EnvParams
 from ..models import RecurrentActorCritic
-from .ppo import (PPOConfig, _gae, aux_dim, init_env_batch,  # noqa: F401
-                  rich_aux)
+from .ppo import (PPOConfig, _gae, aux_dim, episode_metrics,  # noqa: F401
+                  init_env_batch, rich_aux)
+
+
+
+def mask_carry_env1(h, done, dtype):
+    """Zero the carry of envs whose episode just ended (done shared per
+    env, SURVEY §3.3) for env-dim-1 carry layouts: rollout leaves
+    (N, B, H) / update leaves (mb, N, c, H). Shared with the hetero
+    recurrent trainer (ppo_hetero_rnn.py)."""
+    keep = (~done).astype(dtype)
+    return jax.tree.map(lambda x: x * keep[..., None, :, None]
+                        if x.ndim == 4 else x * keep[None, :, None], h)
 
 
 def init_state_rnn(env_params: EnvParams, cfg: PPOConfig, key):
@@ -161,11 +172,7 @@ def make_train_step_rnn(env_params: EnvParams, cfg: PPOConfig, net,
     K = max(k for k in range(1, min(cfg.board_pool, B) + 1) if B % k == 0)
 
     def mask_carry(h, done):
-        """Zero the carry of envs whose episode just ended (all agents —
-        done is shared per env, SURVEY §3.3)."""
-        keep = (~done).astype(cfg.dtype)
-        return jax.tree.map(lambda x: x * keep[..., None, :, None]
-                            if x.ndim == 4 else x * keep[None, :, None], h)
+        return mask_carry_env1(h, done, cfg.dtype)
 
     def rollout(params, env_state, h, key):
         obs0 = obs_of(env_state)
@@ -354,22 +361,7 @@ def make_train_step_rnn(env_params: EnvParams, cfg: PPOConfig, net,
         return params, opt_state, metrics
 
     def ep_metrics(metrics, traj):
-        n_eps = traj["done"].astype(jnp.float32).sum()
-        ep_ret = traj["ep_ret"].sum()
-        ep_len = traj["ep_len"].astype(jnp.float32).sum()
-        ep_cyc = traj["ep_cyc"].astype(jnp.float32).sum()
-        if axis is not None:
-            n_eps, ep_ret, ep_len, ep_cyc = (
-                jax.lax.psum(v, axis) for v in (n_eps, ep_ret, ep_len,
-                                                ep_cyc))
-        metrics["episode_return"] = jnp.where(
-            n_eps > 0, ep_ret / jnp.maximum(n_eps, 1), 0.0)
-        metrics["episode_length"] = jnp.where(
-            n_eps > 0, ep_len / jnp.maximum(n_eps, 1), 0.0)
-        metrics["episode_cycles"] = jnp.where(
-            n_eps > 0, ep_cyc / jnp.maximum(n_eps, 1), 0.0)
-        metrics["n_episodes"] = n_eps
-        return metrics
+        return episode_metrics(metrics, traj, axis)
 
     def train_step(params, opt_state, env_state, h, key):
         env_state, h, key, traj, h0s, last_value = rollout(
@@ -635,17 +627,7 @@ def _make_train_step_rnn_image(env_params: EnvParams, cfg: PPOConfig, net,
         return params, opt_state, metrics
 
     def ep_metrics(metrics, traj):
-        n_eps = traj["done"].astype(jnp.float32).sum()
-        metrics["episode_return"] = jnp.where(
-            n_eps > 0, traj["ep_ret"].sum() / jnp.maximum(n_eps, 1), 0.0)
-        metrics["episode_length"] = jnp.where(
-            n_eps > 0, traj["ep_len"].astype(jnp.float32).sum()
-            / jnp.maximum(n_eps, 1), 0.0)
-        metrics["episode_cycles"] = jnp.where(
-            n_eps > 0, traj["ep_cyc"].astype(jnp.float32).sum()
-            / jnp.maximum(n_eps, 1), 0.0)
-        metrics["n_episodes"] = n_eps
-        return metrics
+        return episode_metrics(metrics, traj)
 
     def train_step(params, opt_state, env_state, h, key):
         env_state, h, key, traj, h0s, last_value = rollout(

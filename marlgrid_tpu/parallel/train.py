@@ -316,10 +316,14 @@ def main(argv=None):
     key = jax.random.fold_in(key, 2)
     if h is not None:
         # carry shards like the env batch: encode-path leaves are
-        # (N, B, H) (env dim 1), image-path leaves (B, N, H) (env leading)
+        # (N, B, H) (env dim 1), image-path leaves (B, N, H) (env
+        # leading). Hetero carries are per-group dicts of (n_g, B, H) —
+        # ALWAYS env dim 1 (a hetero run can reach here with any
+        # args.obs default, e.g. every agent overriding the style)
         from jax.sharding import PartitionSpec as _P
 
-        hspec = (_P("data") if args.obs in ("image", "rich")
+        hspec = (_P("data")
+                 if args.obs in ("image", "rich") and not hetero
                  else _P(None, "data"))
         h = jax.tree.map(lambda x: jax.device_put(
             x, NamedSharding(mesh, hspec)), h)

@@ -89,93 +89,61 @@ def test_goal_cycle_encode_throughput_floor():
     assert v >= GC_FLOOR, f"goal_cycle {v:,.0f} < floor {GC_FLOOR:,.0f}"
 
 
-def test_ppo_throughput_floor():
+HETERO_SPEC = ('[{"view_size":7},{"view_size":5},{"view_size":7},'
+               '{"view_size":5}]')
+
+
+def _train_bench(*extra):
+    """Steady-state env-steps/s of a train.py run (last logged row)."""
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
     out = subprocess.run(
         [sys.executable, "-m", "marlgrid_tpu.parallel.train",
-         "--scenario", "goal_cycle", "--grid-size", "13", "--agents", "4",
-         "--envs", "4096", "--rollout", "64", "--iters", "24",
-         "--steps-per-call", "8", "--log-every", "2"],
+         "--steps-per-call", "8", "--log-every", "2", *extra],
         capture_output=True, text=True, timeout=3000, env=env, cwd=REPO)
     assert out.returncode == 0, out.stdout + out.stderr
     rows = [json.loads(ln) for ln in out.stdout.splitlines()
             if ln.startswith("{")]
-    v = rows[-1]["env_steps_per_s"]
+    return rows[-1]["env_steps_per_s"]
+
+
+GC5 = ("--scenario", "goal_cycle", "--grid-size", "13")
+
+
+def test_ppo_throughput_floor():
+    v = _train_bench(*GC5, "--agents", "4", "--envs", "4096",
+                     "--rollout", "64", "--iters", "24")
     assert v >= PPO_FLOOR, f"ppo {v:,.0f} < floor {PPO_FLOOR:,.0f}"
 
 
 def test_ppo_throughput_config_floor():
     """The documented throughput configuration (--epochs 1 --envs 8192,
     BASELINE round-4 table: 5.05M)."""
-    env = {k: v for k, v in os.environ.items()
-           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
-    out = subprocess.run(
-        [sys.executable, "-m", "marlgrid_tpu.parallel.train",
-         "--scenario", "goal_cycle", "--grid-size", "13", "--agents", "4",
-         "--envs", "8192", "--rollout", "64", "--iters", "32",
-         "--steps-per-call", "8", "--log-every", "2", "--epochs", "1"],
-        capture_output=True, text=True, timeout=3000, env=env, cwd=REPO)
-    assert out.returncode == 0, out.stdout + out.stderr
-    rows = [json.loads(ln) for ln in out.stdout.splitlines()
-            if ln.startswith("{")]
-    v = rows[-1]["env_steps_per_s"]
+    v = _train_bench(*GC5, "--agents", "4", "--envs", "8192",
+                     "--rollout", "64", "--iters", "32", "--epochs", "1")
     assert v >= PPO_FAST_FLOOR, \
         f"ppo throughput config {v:,.0f} < floor {PPO_FAST_FLOOR:,.0f}"
 
 
 def test_rnn_ppo_throughput_floor():
     """Recurrent (GRU) PPO on config #5 — the sequence-aware update path."""
-    env = {k: v for k, v in os.environ.items()
-           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
-    out = subprocess.run(
-        [sys.executable, "-m", "marlgrid_tpu.parallel.train",
-         "--scenario", "goal_cycle", "--grid-size", "13", "--agents", "4",
-         "--envs", "4096", "--rollout", "64", "--iters", "24",
-         "--steps-per-call", "8", "--log-every", "2", "--rnn", "gru"],
-        capture_output=True, text=True, timeout=3000, env=env, cwd=REPO)
-    assert out.returncode == 0, out.stdout + out.stderr
-    rows = [json.loads(ln) for ln in out.stdout.splitlines()
-            if ln.startswith("{")]
-    v = rows[-1]["env_steps_per_s"]
+    v = _train_bench(*GC5, "--agents", "4", "--envs", "4096",
+                     "--rollout", "64", "--iters", "24", "--rnn", "gru")
     assert v >= RNN_FLOOR, f"rnn ppo {v:,.0f} < floor {RNN_FLOOR:,.0f}"
 
 
 def test_lstm_ppo_throughput_floor():
     """Fused-LSTM PPO on config #5 (equal treatment with the GRU cell —
     VERDICT r4 missing #5)."""
-    env = {k: v for k, v in os.environ.items()
-           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
-    out = subprocess.run(
-        [sys.executable, "-m", "marlgrid_tpu.parallel.train",
-         "--scenario", "goal_cycle", "--grid-size", "13", "--agents", "4",
-         "--envs", "4096", "--rollout", "64", "--iters", "24",
-         "--steps-per-call", "8", "--log-every", "2", "--rnn", "lstm"],
-        capture_output=True, text=True, timeout=3000, env=env, cwd=REPO)
-    assert out.returncode == 0, out.stdout + out.stderr
-    rows = [json.loads(ln) for ln in out.stdout.splitlines()
-            if ln.startswith("{")]
-    v = rows[-1]["env_steps_per_s"]
+    v = _train_bench(*GC5, "--agents", "4", "--envs", "4096",
+                     "--rollout", "64", "--iters", "24", "--rnn", "lstm")
     assert v >= LSTM_FLOOR, f"lstm ppo {v:,.0f} < floor {LSTM_FLOOR:,.0f}"
 
 
 def test_hetero_ppo_throughput_floor():
     """Heterogeneous-agent PPO (--agent-config, per-group torsos)."""
-    env = {k: v for k, v in os.environ.items()
-           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
-    out = subprocess.run(
-        [sys.executable, "-m", "marlgrid_tpu.parallel.train",
-         "--scenario", "goal_cycle", "--grid-size", "13",
-         "--agent-config",
-         '[{"view_size":7},{"view_size":5},{"view_size":7},'
-         '{"view_size":5}]',
-         "--envs", "4096", "--rollout", "64", "--iters", "24",
-         "--steps-per-call", "8", "--log-every", "2"],
-        capture_output=True, text=True, timeout=3000, env=env, cwd=REPO)
-    assert out.returncode == 0, out.stdout + out.stderr
-    rows = [json.loads(ln) for ln in out.stdout.splitlines()
-            if ln.startswith("{")]
-    v = rows[-1]["env_steps_per_s"]
+    v = _train_bench(*GC5, "--agent-config", HETERO_SPEC,
+                     "--envs", "4096", "--rollout", "64", "--iters", "24")
     assert v >= HETERO_FLOOR, \
         f"hetero ppo {v:,.0f} < floor {HETERO_FLOOR:,.0f}"
 
@@ -183,21 +151,11 @@ def test_hetero_ppo_throughput_floor():
 def test_hetero_mixed_ppo_throughput_floor():
     """Mixed-STYLE hetero PPO (encode + image groups; round 5):
     recorded 274k at 2 encode + 2 image agents, B=4096, T=32."""
-    env = {k: v for k, v in os.environ.items()
-           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
-    out = subprocess.run(
-        [sys.executable, "-m", "marlgrid_tpu.parallel.train",
-         "--scenario", "goal_cycle", "--grid-size", "13",
-         "--agent-config",
-         '[{"view_size":7},{"view_size":7,"observation_style":"image"},'
-         '{"view_size":7},{"view_size":7,"observation_style":"image"}]',
-         "--envs", "4096", "--rollout", "32", "--iters", "24",
-         "--steps-per-call", "8", "--log-every", "2"],
-        capture_output=True, text=True, timeout=3000, env=env, cwd=REPO)
-    assert out.returncode == 0, out.stdout + out.stderr
-    rows = [json.loads(ln) for ln in out.stdout.splitlines()
-            if ln.startswith("{")]
-    v = rows[-1]["env_steps_per_s"]
+    v = _train_bench(
+        *GC5, "--agent-config",
+        '[{"view_size":7},{"view_size":7,"observation_style":"image"},'
+        '{"view_size":7},{"view_size":7,"observation_style":"image"}]',
+        "--envs", "4096", "--rollout", "32", "--iters", "24")
     assert v >= HETERO_MIXED_FLOOR, \
         f"hetero mixed ppo {v:,.0f} < floor {HETERO_MIXED_FLOOR:,.0f}"
 
@@ -205,57 +163,25 @@ def test_hetero_mixed_ppo_throughput_floor():
 def test_hetero_rnn_ppo_throughput_floor():
     """Hetero RECURRENT PPO (--agent-config + --rnn gru; round 5):
     recorded 2.38-2.40M (both cells) at the recurrent config."""
-    env = {k: v for k, v in os.environ.items()
-           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
-    out = subprocess.run(
-        [sys.executable, "-m", "marlgrid_tpu.parallel.train",
-         "--scenario", "goal_cycle", "--grid-size", "13",
-         "--rnn", "gru", "--agent-config",
-         '[{"view_size":7},{"view_size":5},{"view_size":7},'
-         '{"view_size":5}]',
-         "--envs", "4096", "--rollout", "64", "--iters", "24",
-         "--steps-per-call", "8", "--log-every", "2"],
-        capture_output=True, text=True, timeout=3000, env=env, cwd=REPO)
-    assert out.returncode == 0, out.stdout + out.stderr
-    rows = [json.loads(ln) for ln in out.stdout.splitlines()
-            if ln.startswith("{")]
-    v = rows[-1]["env_steps_per_s"]
+    v = _train_bench(*GC5, "--rnn", "gru", "--agent-config", HETERO_SPEC,
+                     "--envs", "4096", "--rollout", "64", "--iters", "24")
     assert v >= HETERO_RNN_FLOOR, \
         f"hetero rnn ppo {v:,.0f} < floor {HETERO_RNN_FLOOR:,.0f}"
 
 
+CNN_CFG = ("--obs", "image", "--scenario", "cluttered", "--grid-size", "15",
+           "--agents", "3", "--envs", "1024", "--rollout", "32",
+           "--iters", "16", "--steps-per-call", "4")
+
+
 def test_cnn_ppo_throughput_floor():
     """Image-obs PPO (EnvState-store rematerialization path)."""
-    env = {k: v for k, v in os.environ.items()
-           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
-    out = subprocess.run(
-        [sys.executable, "-m", "marlgrid_tpu.parallel.train",
-         "--obs", "image", "--scenario", "cluttered", "--grid-size", "15",
-         "--agents", "3", "--envs", "1024", "--rollout", "32",
-         "--iters", "16", "--steps-per-call", "4", "--epochs", "1",
-         "--log-every", "2"],
-        capture_output=True, text=True, timeout=3000, env=env, cwd=REPO)
-    assert out.returncode == 0, out.stdout + out.stderr
-    rows = [json.loads(ln) for ln in out.stdout.splitlines()
-            if ln.startswith("{")]
-    v = rows[-1]["env_steps_per_s"]
+    v = _train_bench(*CNN_CFG, "--epochs", "1")
     assert v >= CNN_FLOOR, f"cnn ppo {v:,.0f} < floor {CNN_FLOOR:,.0f}"
 
 
 def test_cnn_ppo_default_epochs_throughput_floor():
     """Image-obs PPO at the DEFAULT 2-epoch config (the documented path)."""
-    env = {k: v for k, v in os.environ.items()
-           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
-    out = subprocess.run(
-        [sys.executable, "-m", "marlgrid_tpu.parallel.train",
-         "--obs", "image", "--scenario", "cluttered", "--grid-size", "15",
-         "--agents", "3", "--envs", "1024", "--rollout", "32",
-         "--iters", "16", "--steps-per-call", "4",
-         "--log-every", "2"],
-        capture_output=True, text=True, timeout=3000, env=env, cwd=REPO)
-    assert out.returncode == 0, out.stdout + out.stderr
-    rows = [json.loads(ln) for ln in out.stdout.splitlines()
-            if ln.startswith("{")]
-    v = rows[-1]["env_steps_per_s"]
+    v = _train_bench(*CNN_CFG)
     assert v >= CNN2_FLOOR, \
         f"cnn ppo (2 epochs) {v:,.0f} < floor {CNN2_FLOOR:,.0f}"
